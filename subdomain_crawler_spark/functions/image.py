@@ -1,0 +1,199 @@
+"""Image payload kernels — numpy-only (no PIL in this environment).
+
+The north rule (BASELINE.json input_hint) makes the corpus an image+caption
+table ``(image_id, bytes, w, h, fmt, caption, phash)`` and requires per-row
+validation against the reference payload: decoded-pixel PSNR ≥ 40 dB for
+lossy rows, exact equality for lossless, plus caption equality. The Go
+reference itself never decodes images (bodies are strings,
+/root/reference/pkg/infrastructure/http/fetcher.go:95) — this module is the
+north-rule addition.
+
+Codecs implemented here (deterministic, self-contained):
+
+* ``raw``   — 12-byte header (magic ``RAW0``, w:uint32le, h:uint32le) + RGB24.
+* ``bmp``   — standard 24-bit uncompressed BI_RGB Windows BMP (BGR rows,
+  4-byte padded, bottom-up). Lossless; readable by any external viewer.
+* ``lossy`` — BMP of the 6-bit-quantized image (``v & ~3``). Max channel
+  error 3 → worst-case MSE 3.5 → PSNR ≥ 10·log10(255²/3.5) ≈ 42.7 dB,
+  exercising the PSNR≥40 acceptance path with a real (non-trivial) loss.
+
+``phash`` is a DCT-free average hash: grayscale → 8×8 block-mean downsample →
+bit per cell (≥ mean), packed MSB-first into int64 (row-major). Deterministic
+across platforms (pure integer/float64 numpy).
+
+All batch entry points are pd.Series-vectorized for use inside pandas UDFs.
+
+A real-deployment decode of JPEG/PNG/WebP would go through the same
+``decode_image`` dispatch; those codecs need external libs absent from this
+container and raise ``NotImplementedError`` (clearly-marked stub per the
+driver brief) — the Spark-side plumbing (binary column, mapInPandas batch
+shape) is identical and fully tested via raw/bmp/lossy.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+_RAW_MAGIC = b"RAW0"
+
+
+# ---------------------------------------------------------------------------
+# raw codec
+# ---------------------------------------------------------------------------
+
+
+def encode_raw(img: np.ndarray) -> bytes:
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return _RAW_MAGIC + struct.pack("<II", w, h) + img.tobytes()
+
+
+def decode_raw(buf: bytes) -> np.ndarray:
+    assert buf[:4] == _RAW_MAGIC, "bad raw magic"
+    w, h = struct.unpack_from("<II", buf, 4)
+    return np.frombuffer(buf, dtype=np.uint8, offset=12).reshape(h, w, 3).copy()
+
+
+# ---------------------------------------------------------------------------
+# bmp codec (24-bit BI_RGB)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    row_size = (w * 3 + 3) & ~3
+    image_size = row_size * h
+    # BGR, bottom-up, rows padded to 4 bytes
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + image_size, 0, 0, 54,
+        40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0,
+    )
+    return header + rows.tobytes()
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    assert buf[:2] == b"BM", "bad bmp magic"
+    offset = struct.unpack_from("<I", buf, 10)[0]
+    w, h = struct.unpack_from("<ii", buf, 18)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    assert bpp == 24, f"only 24-bit BMP supported, got {bpp}"
+    row_size = (w * 3 + 3) & ~3
+    flat = np.frombuffer(buf, dtype=np.uint8, offset=offset, count=row_size * abs(h))
+    rows = flat.reshape(abs(h), row_size)[:, : w * 3].reshape(abs(h), w, 3)
+    img = rows if h < 0 else rows[::-1]  # negative height = top-down BMP
+    return img[:, :, ::-1].copy()  # BGR → RGB
+
+
+# ---------------------------------------------------------------------------
+# lossy variant + dispatch
+# ---------------------------------------------------------------------------
+
+
+def quantize(img: np.ndarray, bits: int = 6) -> np.ndarray:
+    """Keep the top ``bits`` bits per channel (deterministic 'lossy' codec)."""
+    mask = 0xFF & ~((1 << (8 - bits)) - 1)
+    return (img & mask).astype(np.uint8)
+
+
+def encode_image(img: np.ndarray, fmt: str) -> bytes:
+    if fmt == "raw":
+        return encode_raw(img)
+    if fmt == "bmp":
+        return encode_bmp(img)
+    if fmt == "lossy":
+        return encode_bmp(quantize(img))
+    raise NotImplementedError(
+        f"codec {fmt!r}: external image libraries are not available in this "
+        "container — STUB (see module docstring); plumbing is exercised via "
+        "raw/bmp/lossy"
+    )
+
+
+def decode_image(buf: bytes, fmt: str) -> np.ndarray:
+    if fmt == "raw":
+        return decode_raw(buf)
+    if fmt in ("bmp", "lossy"):
+        return decode_bmp(buf)
+    raise NotImplementedError(
+        f"codec {fmt!r}: external image libraries are not available in this "
+        "container — STUB (see module docstring)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def average_hash(img: np.ndarray) -> int:
+    """8×8 average-hash → signed int64 (row-major, MSB first)."""
+    gray = img.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    # block-mean downsample to 8×8 via edge-aligned bin boundaries
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    cells = np.empty((8, 8), dtype=np.float64)
+    for i in range(8):
+        for j in range(8):
+            cells[i, j] = gray[ys[i] : max(ys[i + 1], ys[i] + 1),
+                               xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+    bits = (cells >= cells.mean()).astype(np.uint64).ravel()
+    val = np.uint64(0)
+    for bit in bits:
+        val = (val << np.uint64(1)) | bit
+    return int(val.astype(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# vectorized batch forms (pd.Series of bytes/str → results)
+# ---------------------------------------------------------------------------
+
+
+def validate_batch(
+    byts: pd.Series, fmts: pd.Series, ref_byts: pd.Series, ref_fmts: pd.Series,
+    captions: pd.Series, ref_captions: pd.Series,
+) -> pd.DataFrame:
+    """Per-row payload validation per input_hint: decoded PSNR (≥40 dB lossy /
+    exact lossless) + caption equality. Returns (psnr_db, pixels_ok,
+    caption_ok) per row."""
+    out_psnr = np.empty(len(byts), dtype=np.float64)
+    ok = np.zeros(len(byts), dtype=bool)
+    for i, (b, f, rb, rf) in enumerate(
+        zip(byts.to_numpy(), fmts.to_numpy(), ref_byts.to_numpy(), ref_fmts.to_numpy())
+    ):
+        if b is None or rb is None:
+            out_psnr[i] = float("nan")
+            continue
+        got, ref = decode_image(b, f), decode_image(rb, rf)
+        if got.shape != ref.shape:
+            out_psnr[i] = 0.0
+            continue
+        p = psnr(got, ref)
+        out_psnr[i] = p
+        ok[i] = bool(np.array_equal(got, ref)) if f in ("raw", "bmp") else p >= 40.0
+    cap_ok = (captions.fillna("") == ref_captions.fillna("")).to_numpy()
+    return pd.DataFrame({"psnr_db": out_psnr, "pixels_ok": ok, "caption_ok": cap_ok})
+
+
+def phash_batch(byts: pd.Series, fmts: pd.Series) -> pd.Series:
+    vals = [
+        average_hash(decode_image(b, f)) if b is not None else None
+        for b, f in zip(byts.to_numpy(), fmts.to_numpy())
+    ]
+    return pd.Series(vals, dtype="Int64")

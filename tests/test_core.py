@@ -1,0 +1,242 @@
+"""M1 — ported reference unit tables (no SparkSession needed).
+
+Every case below is a direct port of a Go table-driven test in
+/root/reference/pkg/infrastructure/domainservice/domain_service_test.go,
+run against both the scalar and the Series-vectorized kernel forms.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from subdomain_crawler_spark.functions import core
+
+
+def both(fn_one, fn_series, value, *args):
+    """Assert scalar and vectorized forms agree, return the scalar result."""
+    scalar = fn_one(value, *args)
+    vec = fn_series(pd.Series([value]), *args).iloc[0]
+    if isinstance(scalar, list):
+        assert list(vec) == scalar
+    else:
+        assert vec == scalar or (scalar != scalar and vec != vec)
+    return scalar
+
+
+# TestValidator_IsValid (domain_service_test.go:7-29)
+@pytest.mark.parametrize(
+    "domain,expected",
+    [
+        ("www.example.com", True),
+        ("api.example.com", True),
+        ("", False),
+        ("not a domain", False),
+        ("deep.sub.example.com", True),
+        # extra pins for the regex's edge semantics
+        ("example.com\n", True),     # TrimSpace strips the newline first
+        ("EXAMPLE.COM", True),       # IsValid does NOT lowercase
+        ("xn--p1ai.com", True),
+        ("-bad.example.com", False),
+        ("example.c", False),        # TLD must be ≥2 alpha
+        ("1.2.3.4", False),          # numeric TLD rejected
+    ],
+)
+def test_is_valid(domain, expected):
+    assert both(core.is_valid_one, core.is_valid, domain) == expected
+
+
+# TestValidator_IsInScope with explicit root (domain_service_test.go:31-57)
+@pytest.mark.parametrize(
+    "domain,root,expected",
+    [
+        ("example.com", "example.com", True),
+        ("www.example.com", "example.com", True),
+        ("api.v1.example.com", "example.com", True),
+        ("attacker.com", "example.com", False),
+        ("notexample.com", "example.com", False),  # suffix needs the dot
+        ("WWW.Example.COM ", "example.com", True),  # canonicalized first
+    ],
+)
+def test_in_scope_with_root(domain, root, expected):
+    assert core.in_scope_one(domain, root) == expected
+    assert bool(core.in_scope(pd.Series([domain]), pd.Series([root])).iloc[0]) == expected
+    assert bool(core.in_scope_vs_root(pd.Series([domain]), root).iloc[0]) == expected
+
+
+# IsInScope with root="" → whitelist membership (test case "api.test.com","",true)
+def test_in_scope_whitelist():
+    wl = core.build_root_whitelist(["example.com", "test.com"])
+    s = pd.Series(["api.test.com", "www.example.com", "attacker.com", "test.com"])
+    assert list(core.in_scope_whitelist(s, wl)) == [True, True, False, True]
+
+
+# TestCalculator_GetDepth (domain_service_test.go:59-83)
+@pytest.mark.parametrize(
+    "domain,expected",
+    [
+        ("example.com", 0),
+        ("www.example.com", 1),
+        ("api.www.example.com", 2),
+        ("v1.api.www.example.com", 3),
+        # PSL-error fallback: count ALL dots + 1 (domain_service.go:84-87)
+        ("localhost", 1),
+        ("com", 1),
+        # multi-label public suffix
+        ("cs.tsinghua.edu.cn", 1),
+        ("tsinghua.edu.cn", 0),
+    ],
+)
+def test_get_depth(domain, expected):
+    assert both(core.get_depth_one, core.get_depth, domain) == expected
+
+
+# TestCalculator_GetRoot (domain_service_test.go:85-115)
+@pytest.mark.parametrize(
+    "domain,expected",
+    [
+        ("example.com", "example.com"),
+        ("www.example.com", "example.com"),
+        ("api.v1.example.com", "example.com"),
+        ("cs.tsinghua.edu.cn", "tsinghua.edu.cn"),
+        ("WWW.EXAMPLE.COM", "example.com"),  # GetRoot canonicalizes
+        ("com", None),                        # Go returns error
+        ("", None),
+        # default '*' rule: unknown TLD is itself a suffix
+        ("foo.bar.unknowntld", "bar.unknowntld"),
+        # wildcard *.ck and exception !www.ck
+        ("a.b.site.ck", "b.site.ck"),
+        ("www.ck", "www.ck"),
+        ("sub.www.ck", "www.ck"),
+    ],
+)
+def test_get_root(domain, expected):
+    assert core.get_root_one(domain) == expected
+    got = core.get_root(pd.Series([domain])).iloc[0]
+    assert (got is None and expected is None) or got == expected
+
+
+def test_get_distance():
+    # domain_service.go:109-123
+    assert core.get_distance_one("www.example.com", "example.com") == 1
+    assert core.get_distance_one("example.com", "example.com") == 0
+    assert core.get_distance_one("attacker.com", "example.com") == -1
+    # quirk: plain HasSuffix (no dot) — "notexample.com" IS related per Go
+    assert core.get_distance_one("notexample.com", "example.com") == 0
+
+
+# TestExtractor_ExtractFromText (domain_service_test.go:117-156)
+def test_extract_from_text_min_counts():
+    cases = [
+        ("Visit www.example.com and api.example.com", 2),
+        ('<a href="http://www.example.com">Link</a> Contact: admin@example.com', 2),
+        ("No domains here!", 0),
+    ]
+    for text, min_count in cases:
+        got = both(core.extract_hosts_one, core.extract_hosts, text)
+        assert len(got) >= min_count
+
+
+def test_extract_from_text_order_and_dedup():
+    text = "b.example.com then A.EXAMPLE.COM then b.example.com"
+    # first-occurrence order preserved, case-folded dedup
+    assert core.extract_hosts_one(text) == ["b.example.com", "a.example.com"]
+    assert list(core.extract_hosts(pd.Series([text])).iloc[0]) == [
+        "b.example.com", "a.example.com",
+    ]
+
+
+def test_extract_from_text_email_matches_domain():
+    # the unanchored regex grabs the host part of an email address
+    assert "example.com" in core.extract_hosts_one("admin@example.com")
+
+
+# TestExtractor_FilterByRoot (domain_service_test.go:158-183)
+def test_filter_by_root():
+    domains = pd.Series(
+        ["www.example.com", "api.example.com", "www.attacker.com", "blog.example.com"]
+    )
+    kept = domains[core.in_scope_vs_root(domains, "example.com")]
+    assert len(kept) == 3
+    assert "www.attacker.com" not in list(kept)
+
+
+# TestExpander_IsSLD (domain_service_test.go:185-212)
+@pytest.mark.parametrize(
+    "domain,expected",
+    [
+        ("example.com", True),
+        ("tsinghua.edu.cn", True),
+        ("www.example.com", False),
+        ("api.v1.example.com", False),
+        ("com", False),  # PSL error → False (expander.go:137-140)
+    ],
+)
+def test_is_sld(domain, expected):
+    assert core.is_sld_one(domain) == expected
+
+
+# TestExpander_ExpandDomain (domain_service_test.go:214-249)
+def test_expand_sld():
+    got = core.expand_domain_one("example.com")
+    assert len(got) >= 100
+    assert got[0] == "example.com"  # original first (expander.go:121)
+    assert "www.example.com" in got and "mail.example.com" in got
+    assert len(got) == len(set(got))
+
+
+def test_expand_subdomain_passthrough():
+    assert core.expand_domain_one("www.example.com") == ["www.example.com"]
+    # PSL-error input passes through too (expander.go:108-111)
+    assert core.expand_domain_one("com") == ["com"]
+
+
+# TestExpander_CustomSubdomains (domain_service_test.go:251-273)
+def test_expand_custom_subdomains():
+    ps = core.merged_prefixes(["custom1", "CUSTOM2 ", "www"])  # dedup vs common
+    got = core.expand_domain_one("example.com", ps)
+    assert "custom1.example.com" in got and "custom2.example.com" in got
+    assert got.count("www.example.com") == 1
+
+
+# TestExtractor_ExtractTitle (domain_service_test.go:275-334)
+@pytest.mark.parametrize(
+    "html,expected",
+    [
+        ("<html><head><title>Example Domain</title></head><body></body></html>",
+         "Example Domain"),
+        ('<title lang="en">Example Domain</title>', "Example Domain"),
+        ("<title>\n  Example \n  Domain  \n</title>", "Example Domain"),
+        ("<TITLE>Example Domain</TITLE>", "Example Domain"),
+        ("<html><body>No title here</body></html>", ""),
+        # first match wins; tabs collapse
+        ("<title>A\tB</title><title>C</title>", "A B"),
+    ],
+)
+def test_extract_title(html, expected):
+    assert both(core.extract_title_one, core.extract_title, html) == expected
+
+
+# TestExtractor_ExtractFromHTML (domain_service_test.go:336-358) — X2, dead
+# code in the reference's main path but parity-kept behind its own function.
+@pytest.mark.parametrize(
+    "html,expected",
+    [
+        ('<a href="http://www.example.com">Link</a>', ["www.example.com"]),
+        ('<a href="http://link.example.com">Link</a> and text.example.com',
+         ["link.example.com", "text.example.com"]),
+        ('<a href="/path/2f2f.example.com">Link</a>', []),
+        ('<a href="//valid.example.com">Link</a>', ["valid.example.com"]),
+    ],
+)
+def test_extract_from_html(html, expected):
+    got = core.extract_hosts_html_one(html)
+    for e in expected:
+        assert e in got, f"missing {e} in {got}"
+    if not expected:
+        assert got == []
+
+
+def test_canonicalize():
+    s = pd.Series(["  WWW.Example.COM \n", "a.B.c"])
+    assert list(core.canonicalize(s)) == ["www.example.com", "a.b.c"]

@@ -1,0 +1,90 @@
+"""Image codec / phash / PSNR kernels (north-rule payload path, M5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from subdomain_crawler_spark.functions import image
+
+
+def _img(h=33, w=47, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_raw_roundtrip():
+    img = _img()
+    assert np.array_equal(image.decode_raw(image.encode_raw(img)), img)
+
+
+def test_bmp_roundtrip():
+    img = _img()  # width 47 → 141 bytes/row → exercises 4-byte padding
+    assert np.array_equal(image.decode_bmp(image.encode_bmp(img)), img)
+
+
+def test_bmp_even_width_roundtrip():
+    img = _img(16, 16, seed=1)
+    assert np.array_equal(image.decode_bmp(image.encode_bmp(img)), img)
+
+
+def test_lossy_psnr_band():
+    img = _img()
+    dec = image.decode_image(image.encode_image(img, "lossy"), "lossy")
+    p = image.psnr(img, dec)
+    assert 40.0 <= p < 60.0, f"lossy PSNR {p} outside expected band"
+    assert not np.array_equal(dec, img)  # genuinely lossy
+
+
+def test_psnr_identical_inf():
+    img = _img()
+    assert image.psnr(img, img) == float("inf")
+
+
+def test_phash_deterministic_and_locality():
+    img = _img(64, 64, seed=3)
+    h1 = image.average_hash(img)
+    assert h1 == image.average_hash(img.copy())
+    # mild quantization barely moves the hash
+    h2 = image.average_hash(image.quantize(img))
+    from subdomain_crawler_spark.functions.text import hamming64
+    assert hamming64(h1, h2) <= 4
+    # unrelated image lands far away
+    h3 = image.average_hash(_img(64, 64, seed=99))
+    assert hamming64(h1, h3) > 10
+
+
+def test_unknown_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        image.encode_image(_img(), "jpeg")
+    with pytest.raises(NotImplementedError):
+        image.decode_image(b"\xff\xd8", "jpeg")
+
+
+def test_validate_batch():
+    a, b = _img(seed=1), _img(seed=2)
+    rows = {
+        "bytes": [image.encode_image(a, "bmp"), image.encode_image(a, "lossy"),
+                  image.encode_image(b, "raw")],
+        "fmt": ["bmp", "lossy", "raw"],
+        "ref_bytes": [image.encode_image(a, "bmp")] * 3,
+        "ref_fmt": ["bmp"] * 3,
+        "caption": ["same", "same", "diff"],
+        "ref_caption": ["same", "same", "DIFF"],
+    }
+    df = pd.DataFrame(rows)
+    out = image.validate_batch(df["bytes"], df["fmt"], df["ref_bytes"],
+                               df["ref_fmt"], df["caption"], df["ref_caption"])
+    assert list(out["pixels_ok"]) == [True, True, False]
+    assert out["psnr_db"][1] >= 40.0
+    assert list(out["caption_ok"]) == [True, True, False]
+
+
+def test_phash_batch():
+    a = _img(seed=1)
+    s = image.phash_batch(
+        pd.Series([image.encode_image(a, "bmp"), None]), pd.Series(["bmp", "bmp"])
+    )
+    assert s[0] == image.average_hash(a)
+    assert pd.isna(s[1])

@@ -1,0 +1,70 @@
+"""Text-analysis + sketch kernels (training-data pipeline ops)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from subdomain_crawler_spark.functions import text
+
+
+def test_token_count():
+    s = pd.Series(["a b  c", "  one ", "", None])
+    assert list(text.token_count(s)) == [3, 1, 1, 1]  # '' splits to ['']
+
+
+def test_quality_score():
+    s = pd.Series(["the cat and the dog", "zz qq ww"])
+    got = list(text.quality_score(s))
+    assert got[0] == round(3 / 5, 4)
+    assert got[1] == 0.0
+
+
+def test_lang_id():
+    s = pd.Series(
+        [
+            "the cat is on the mat and it is fine",
+            "el perro y la casa en un lugar con los gatos",
+            "der hund und die katze ist von den wiesen",
+            "zzz qqq www",
+        ]
+    )
+    assert list(text.lang_id(s)) == ["en", "es", "de", "und"]
+
+
+def test_fingerprint64():
+    s = pd.Series(["hello world", "hello world", "hello worle", ""])
+    f = text.fingerprint64(s)
+    assert f[0] == f[1] != f[2]
+    assert f[0] == text.fingerprint64_one("hello world")
+    assert f[3] == 0
+    # exact value pinned so any arithmetic drift fails loudly
+    assert text.fingerprint64_one("a") == ord("a")
+    assert text.fingerprint64_one("ab") == (ord("a") * 1000003 + ord("b")) % ((1 << 61) - 1)
+
+
+def test_shingles_and_ngrams():
+    assert text.char_shingles_one("abcdef", 5) == ["abcde", "bcdef"]
+    assert text.char_shingles_one("ab", 5) == ["ab"]
+    assert text.char_shingles_one("", 5) == []
+    assert text.word_ngrams_one("a b c d", 3) == ["a b c", "b c d"]
+    assert text.word_ngrams_one("a b", 3) == ["a b"]
+
+
+def test_minhash_properties():
+    a = text.minhash_signature_one(text.char_shingles_one("the quick brown fox jumps"))
+    a2 = text.minhash_signature_one(text.char_shingles_one("the quick brown fox jumps"))
+    b = text.minhash_signature_one(text.char_shingles_one("the quick brown fox jumped"))
+    c = text.minhash_signature_one(text.char_shingles_one("completely different text here"))
+    assert a == a2 and len(a) == 64
+    sim_ab = sum(x == y for x, y in zip(a, b)) / 64
+    sim_ac = sum(x == y for x, y in zip(a, c)) / 64
+    assert sim_ab > 0.5 > sim_ac
+
+
+def test_simhash_properties():
+    a = text.simhash64_one("the quick brown fox jumps over the lazy dog".split())
+    b = text.simhash64_one("the quick brown fox jumps over the lazy cat".split())
+    c = text.simhash64_one("totally unrelated content about spark engines".split())
+    assert a == text.simhash64_one("the quick brown fox jumps over the lazy dog".split())
+    assert text.hamming64(a, b) < text.hamming64(a, c)
+    assert text.simhash64_one([]) == 0
