@@ -1,0 +1,35 @@
+"""Crawl configuration — defaults mirror the reference CLI.
+
+Reference: /root/reference/pkg/interface/cli/config.go (workers=32 :21,
+queue=10000 :22, max-depth=3 :20, bloom 1e6 @ 1% :43-44, protocols
+["https","http"] :79, expand-sld default true :57). Queue capacity is
+intentionally absent: a DataFrame frontier is unbounded and we do not
+reproduce drop-on-full (documented divergence G1, SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    max_depth: int = 3
+    protocols: tuple[str, ...] = ("https", "http")
+    expand_sld: bool = True
+    custom_prefixes: tuple[str, ...] = ()
+
+    # seen-set accelerator (D1b): shard count for the broadcast bloom bank;
+    # each shard sized so capacity_per_shard * shards covers the frontier
+    bloom_shards: int = 8
+    bloom_capacity: int = 1_000_000
+    bloom_fp: float = 0.01
+    use_bloom_prefilter: bool = True
+
+    # politeness / skew (north-rule additions, M4)
+    salt_buckets: int = 8           # salts per root for hot-SLD skew
+    default_per_root_budget: int | None = None  # None = unlimited per round
+    honor_robots: bool = True
+
+    # canonical-form knobs
+    shuffle_partitions: int = 32

@@ -1,0 +1,126 @@
+"""pandas_udf wrappers over the pure kernels — the only Python that runs on
+executors, always Arrow-batched (north rule: no per-row Python).
+
+Keep this module import-light: it is shipped to executors via --py-files.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BooleanType, DoubleType, IntegerType, LongType, StringType,
+)
+
+from . import core, image, text
+
+
+@F.pandas_udf(StringType())
+def udf_canonicalize(s: pd.Series) -> pd.Series:
+    return core.canonicalize(s)
+
+
+@F.pandas_udf(BooleanType())
+def udf_is_valid(s: pd.Series) -> pd.Series:
+    return core.is_valid(s)
+
+
+@F.pandas_udf(StringType())
+def udf_get_root(s: pd.Series) -> pd.Series:
+    return core.get_root(s)
+
+
+@F.pandas_udf(IntegerType())
+def udf_get_depth(s: pd.Series) -> pd.Series:
+    return core.get_depth(s).astype("int32")
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def udf_extract_hosts(texts: pd.Series) -> pd.Series:
+    return core.extract_hosts(texts)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def udf_extract_hosts_in_scope(texts: pd.Series, roots: pd.Series) -> pd.Series:
+    """X1 + F2 fused: extract then filter against the parent root — one Arrow
+    pass, mirroring worker.go:108-110 (ExtractFromText → FilterByRoot)."""
+    extracted = core.extract_hosts(texts)
+    out = []
+    for cands, root in zip(extracted.to_numpy(), roots.to_numpy()):
+        out.append([c for c in cands if c == root or c.endswith("." + root)])
+    return pd.Series(out, index=texts.index)
+
+
+@F.pandas_udf(StringType())
+def udf_extract_title(texts: pd.Series) -> pd.Series:
+    return core.extract_title(texts)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def udf_expand_domain(seeds: pd.Series) -> pd.Series:
+    return core.expand_domains(seeds)
+
+
+@F.pandas_udf(BooleanType())
+def udf_is_sld(s: pd.Series) -> pd.Series:
+    return core.canonicalize(s).map(core.is_sld_one)
+
+
+# --- text-analysis / sketch UDFs (training-data ops) -----------------------
+
+
+@F.pandas_udf(LongType())
+def udf_token_count(texts: pd.Series) -> pd.Series:
+    return text.token_count(texts)
+
+
+@F.pandas_udf(DoubleType())
+def udf_quality_score(texts: pd.Series) -> pd.Series:
+    return text.quality_score(texts)
+
+
+@F.pandas_udf(StringType())
+def udf_lang_id(texts: pd.Series) -> pd.Series:
+    return text.lang_id(texts)
+
+
+@F.pandas_udf(LongType())
+def udf_fingerprint64(texts: pd.Series) -> pd.Series:
+    return text.fingerprint64(texts)
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def udf_minhash64(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").map(
+        lambda t: text.minhash_signature_one(text.char_shingles_one(t))
+    )
+
+
+@F.pandas_udf(LongType())
+def udf_simhash64(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").map(lambda t: text.simhash64_one(t.split()))
+
+
+# --- image UDFs (north-rule payload path) -----------------------------------
+
+
+@F.pandas_udf(LongType())
+def udf_phash(byts: pd.Series, fmts: pd.Series) -> pd.Series:
+    return image.phash_batch(byts, fmts)
+
+
+@F.pandas_udf(DoubleType())
+def udf_psnr_vs(byts: pd.Series, fmts: pd.Series,
+                ref_byts: pd.Series, ref_fmts: pd.Series) -> pd.Series:
+    import numpy as np
+
+    out = []
+    for b, f, rb, rf in zip(byts.to_numpy(), fmts.to_numpy(),
+                            ref_byts.to_numpy(), ref_fmts.to_numpy()):
+        if b is None or rb is None:
+            out.append(None)
+            continue
+        a, r = image.decode_image(b, f), image.decode_image(rb, rf)
+        out.append(float("nan") if a.shape != r.shape else
+                   min(image.psnr(a, r), 1e9))  # cap inf for a storable double
+    return pd.Series(out, dtype="float64")

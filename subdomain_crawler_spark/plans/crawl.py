@@ -1,0 +1,347 @@
+"""CrawlEngine — the iterative-rounds PySpark crawl (SURVEY.md §3.1 "Spark shape").
+
+One round = one Spark job over the frontier DataFrame:
+
+    frontier ──F4 depth gate──► J1 fetch-join vs corpus
+        ├─ W1 first-success https→http (derived columnar, no 2nd join)
+        ├─ X1+F2 extraction (fused Arrow UDF) + X3 title
+        ├─ D1 global dedup: [bloom-bank pre-prune] + exact left_anti vs seen
+        ├─ winner resolution (canonical min-parent, §3.4 determinism rule)
+        └─ writes: results / http_log / dns_log / metrics / seen / next frontier
+                   → atomic manifest commit (checkpoint/resume, M6)
+
+Semantics are the golden ``ReferenceSimulator``'s (same quirk list, same
+canonical ordering); tests/test_crawl_e2e.py proves per-round equivalence.
+
+Scale notes (10^10-URL frontier, 1000 executors):
+* the fetch-join broadcasts the frontier only while it is small (driver
+  checks a row-count threshold); past that it falls back to a shuffle join
+  on ``host`` — with AQE enabled skewed hosts re-split at runtime;
+* the frontier and candidate sets are salted-repartitioned by
+  ``hash(root, salt)`` before heavy stages to break hot-SLD skew
+  (one university seed → thousands of candidates; reference has no answer
+  to this, SURVEY.md §4);
+* the seen set is parquet-partitioned per round; the anti-join is pre-pruned
+  by a broadcast sharded-bloom bank (operators/seen.py) so only
+  possibly-seen candidates shuffle; Spark's runtime bloom filter further
+  prunes the exact join;
+* per-round tables are append-only round=N dirs → lineage is cut at every
+  round boundary (no iterative-union plan explosion), and resume is "read
+  the last committed round" (M6).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BooleanType, IntegerType, StringType, StructField, StructType,
+)
+
+from ..config import CrawlConfig
+from ..functions import udfs
+from ..operators import politeness as pol
+from ..operators import seen as seen_mod
+from ..operators.seen import ShardedSeenFilter
+from ..sources.tableio import ParquetSnapshotIO
+from .reference_sim import expand_seeds
+
+_REASON = {200: "OK", 301: "Moved Permanently", 404: "Not Found",
+           500: "Internal Server Error", 204: "No Content"}
+
+FRONTIER_SCHEMA = StructType([
+    StructField("host", StringType()),
+    StructField("root", StringType()),
+    StructField("depth", IntegerType()),
+])
+
+# below this many frontier rows the fetch-join broadcasts the frontier side
+BROADCAST_FRONTIER_MAX = 2_000_000
+
+
+def _status_expr(code_col):
+    mapping = F.create_map(*[F.lit(x) for kv in _REASON.items() for x in kv])
+    return F.concat_ws(" ", code_col.cast("string"),
+                       F.coalesce(mapping[code_col], F.lit("Unknown")))
+
+
+@dataclass
+class RoundStats:
+    round: int
+    tasks_processed: int
+    tasks_enqueued: int
+    http_requests: int
+    dns_requests: int
+    success_count: int
+    error_count: int
+    unique_subdomains: int
+    wall_sec: float
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: CrawlConfig,
+        workdir: str,
+        corpus: DataFrame,
+        dns: DataFrame,
+        robots: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.io = ParquetSnapshotIO(spark, workdir)
+        self.corpus = corpus.select("host", "proto_ok", "status_code", "caption")
+        self.dns = dns
+        self.robots = robots
+        self._bank: ShardedSeenFilter | None = None
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self, seeds: list[str]) -> None:
+        """Round-0 frontier from seeds (S1 parse + X4 expansion + root stamp)."""
+        rows = expand_seeds(seeds, self.cfg)
+        df = self.spark.createDataFrame(
+            pd.DataFrame(rows, columns=["host", "root", "depth"]), FRONTIER_SCHEMA
+        )
+        self.io.append("frontier", self._dedup_frontier(df), 0)
+
+    def resume_round(self) -> int:
+        """Next round to run: 0 on a fresh dir, committed+1 after a crash/stop."""
+        return self.io.committed_round() + 1
+
+    def run(self, seeds: list[str] | None = None, max_rounds: int = 64,
+            progress=None) -> list[RoundStats]:
+        rnd = self.resume_round()
+        if rnd == 0:
+            assert seeds is not None, "fresh run needs seeds"
+            self.start(seeds)
+        elif self.cfg.use_bloom_prefilter and self._bank is None:
+            # resume: rebuild the bank from the cumulative seen table,
+            # distributed (no row collect)
+            seen = self._cumulative_seen(rnd)
+            if seen is not None:
+                self._bank = seen_mod.build_bank_distributed(
+                    seen, "host", self.cfg.bloom_shards,
+                    max(1024, self.cfg.bloom_capacity // self.cfg.bloom_shards),
+                    self.cfg.bloom_fp)
+        stats: list[RoundStats] = []
+        while rnd < max_rounds:
+            if not self.io.exists("frontier", rnd):
+                break
+            frontier = self.io.read_round("frontier", rnd)
+            if frontier.isEmpty():
+                break
+            st = self._run_round(rnd, frontier)
+            stats.append(st)
+            if progress:
+                progress(st)
+            rnd += 1
+        return stats
+
+    # -- internals ------------------------------------------------------------
+
+    @staticmethod
+    def _dedup_frontier(df: DataFrame) -> DataFrame:
+        """Canonical within-round dedup: one row per host, min (root, depth)."""
+        w = Window.partitionBy("host").orderBy("root", "depth")
+        return (df.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+
+    def _cumulative_seen(self, rnd: int) -> DataFrame | None:
+        return self.io.read_upto("seen", rnd - 1)
+
+    def _maybe_new_filter(self, cand: DataFrame) -> DataFrame:
+        """D1b: split candidates via the broadcast bloom bank — definite-new
+        rows skip the exact anti-join entirely."""
+        bank_bc = self.spark.sparkContext.broadcast(self._bank.to_bytes_list())
+
+        @F.pandas_udf(BooleanType())
+        def maybe_seen(hosts: pd.Series) -> pd.Series:
+            bank = ShardedSeenFilter.from_bytes_list(bank_bc.value)
+            return pd.Series(bank.maybe_contains(hosts), index=hosts.index)
+
+        return cand.withColumn("_maybe_seen", maybe_seen(F.col("cand")))
+
+    def _run_round(self, rnd: int, frontier: DataFrame) -> RoundStats:
+        t0 = time.monotonic()
+        cfg = self.cfg
+        spark = self.spark
+
+        frontier = frontier.persist()
+        tasks_processed = frontier.count()
+
+        # politeness (W2, north-rule addition): per-root budget via salted
+        # window; deferred rows carry over to the next round's frontier
+        active_f, deferred = pol.apply_budgets(frontier, self.robots, cfg)
+
+        # J1 fetch-join — broadcast the frontier while small (the corpus is
+        # the 100 TB side; never broadcast it)
+        f = active_f
+        if tasks_processed <= BROADCAST_FRONTIER_MAX:
+            f = F.broadcast(f)
+        j = (f.join(self.corpus, "host", "left")
+              .withColumn("active", F.col("depth") <= F.lit(cfg.max_depth)))
+
+        is2xx = (F.col("status_code") >= 200) & (F.col("status_code") < 300)
+        has = lambda p: F.coalesce(F.array_contains("proto_ok", p), F.lit(False))
+        j = (j.withColumn("https_ok", F.col("active") & has("https"))
+              .withColumn("fetched_https", F.col("https_ok") & is2xx)
+              .withColumn("http_att", F.col("active") & ~F.col("fetched_https"))
+              .withColumn("http_ok", F.col("http_att") & has("http"))
+              .withColumn("fetched_http", F.col("http_ok") & is2xx)
+              .withColumn("fetched", F.col("fetched_https") | F.col("fetched_http"))
+              .withColumn("proto", F.when(F.col("fetched_https"), "https")
+                                    .when(F.col("fetched_http"), "http"))
+              .persist())
+
+        # ---- http log (S3): one row per attempt, failures included ----------
+        attempt = lambda proto_lit, att_col, ok_col: F.when(att_col, F.struct(
+            F.lit(proto_lit).alias("proto"),
+            F.concat(F.lit(proto_lit + "://"), F.col("host")).alias("url"),
+            F.when(ok_col, F.col("status_code")).alias("status_code"),
+            F.when(~ok_col, F.lit("connection refused")).alias("error"),
+        ))
+        http_log = (j.select(
+            F.col("host"),
+            F.explode(F.filter(F.array(
+                attempt("https", F.col("active"), F.col("https_ok")),
+                attempt("http", F.col("http_att"), F.col("http_ok")),
+            ), lambda x: x.isNotNull())).alias("a"))
+            .select(F.lit(rnd).alias("round"), "host", "a.proto", "a.url",
+                    "a.status_code", "a.error"))
+
+        # ---- metrics pieces --------------------------------------------------
+        agg = j.agg(
+            F.sum(F.col("active").cast("long")).alias("https_attempts"),
+            F.sum(F.col("http_att").cast("long")).alias("http_attempts"),
+            F.sum(F.col("fetched").cast("long")).alias("success"),
+            F.sum((F.col("active") & ~F.col("https_ok")).cast("long")).alias("e1"),
+            F.sum((F.col("http_att") & ~F.col("http_ok")).cast("long")).alias("e2"),
+            F.sum((F.col("active") & ~F.col("fetched")).cast("long")).alias("e3"),
+            F.sum(F.col("active").cast("long")).alias("dns_requests"),
+        ).collect()[0]
+
+        # ---- extraction (X1+F2 fused, X3) on fetched pages ------------------
+        pages = (j.filter("fetched")
+                  .withColumn("cands", udfs.udf_extract_hosts_in_scope("caption", "root"))
+                  .withColumn("title", udfs.udf_extract_title("caption"))
+                  .persist())
+
+        exploded = pages.select(
+            F.col("host").alias("parent"), F.col("root").alias("parent_root"),
+            F.posexplode("cands").alias("pos", "cand"),
+        )
+
+        # ---- D1: novel = candidates not in cumulative seen -------------------
+        cand_dist = exploded.select("cand").distinct()
+        seen = self._cumulative_seen(rnd)
+        if seen is None:
+            novel = cand_dist
+        elif self._bank is not None:
+            split = self._maybe_new_filter(cand_dist).persist()
+            suspects = (split.filter("_maybe_seen").drop("_maybe_seen")
+                        .join(seen, F.col("cand") == F.col("host"), "left_anti"))
+            novel = split.filter("NOT _maybe_seen").drop("_maybe_seen").unionByName(suspects)
+        else:
+            novel = cand_dist.join(seen, F.col("cand") == F.col("host"), "left_anti")
+
+        winner = (exploded.join(novel.select("cand"), "cand")
+                  .groupBy("cand")
+                  .agg(F.min(F.struct("parent", "parent_root")).alias("w"))
+                  .select("cand", F.col("w.parent").alias("winner"),
+                          F.col("w.parent_root").alias("winner_root"))
+                  .persist())
+
+        # per-page novel list in extraction order (result.subdomains semantics)
+        page_novel = (exploded
+                      .join(winner, "cand")
+                      .filter(F.col("parent") == F.col("winner"))
+                      .groupBy("parent")
+                      .agg(F.transform(
+                          F.array_sort(F.collect_list(F.struct("pos", "cand"))),
+                          lambda x: x.cand).alias("subdomains")))
+
+        # ---- dns (J2) + results (S2) -----------------------------------------
+        dns_j = (j.filter("active")
+                  .select("host", "fetched", "proto", "status_code",
+                          F.length("caption").alias("content_length"))
+                  .join(self.dns, "host", "left")
+                  .withColumn("ips", F.coalesce(F.col("ips"), F.array().cast("array<string>")))
+                  .withColumn("rcode", F.coalesce(F.col("rcode"), F.lit(3)))
+                  .persist())
+
+        dns_log = dns_j.select(F.lit(rnd).alias("round"), "host", "ips", "rcode")
+
+        results = (dns_j.filter("fetched")
+                   .join(pages.select(F.col("host"), F.col("title")), "host", "left")
+                   .join(page_novel, F.col("host") == F.col("parent"), "left")
+                   .select(
+                       F.lit(rnd).alias("round"),
+                       F.col("host").alias("domain"),
+                       "ips",
+                       F.coalesce(F.col("subdomains"),
+                                  F.array().cast("array<string>")).alias("subdomains"),
+                       _status_expr(F.col("status_code")).alias("status"),
+                       F.col("status_code"),
+                       F.coalesce(F.col("title"), F.lit("")).alias("title"),
+                       F.col("content_length"),
+                       F.when(F.col("rcode") != 0,
+                              F.lit("dns error: NXDOMAIN")).alias("error"),
+                   ))
+
+        # ---- next frontier (U1) ----------------------------------------------
+        novel_frontier = (winner
+                          .withColumn("depth", udfs.udf_get_depth("cand"))
+                          .filter(F.col("depth") <= F.lit(cfg.max_depth))
+                          .select(F.col("cand").alias("host"),
+                                  F.col("winner_root").alias("root"), "depth")
+                          .persist())
+        tasks_enqueued = novel_frontier.count()
+        next_frontier = novel_frontier
+        if deferred is not None:
+            next_frontier = self._dedup_frontier(
+                next_frontier.unionByName(deferred))
+
+        # ---- commit round -----------------------------------------------------
+        novel_df = winner.select(F.col("cand").alias("host"))
+        self.io.append("results", results, rnd)
+        self.io.append("http_log", http_log, rnd)
+        self.io.append("dns_log", dns_log, rnd)
+        self.io.append("seen", novel_df, rnd)
+        self.io.append("frontier", next_frontier, rnd + 1)
+
+        unique_subdomains = self.io.read_round("seen", rnd).count()
+
+        st = RoundStats(
+            round=rnd,
+            tasks_processed=tasks_processed,
+            tasks_enqueued=tasks_enqueued,
+            http_requests=int(agg["https_attempts"] + agg["http_attempts"]),
+            dns_requests=int(agg["dns_requests"]),
+            success_count=int(agg["success"]),
+            error_count=int(agg["e1"] + agg["e2"] + agg["e3"]),
+            unique_subdomains=unique_subdomains,
+            wall_sec=time.monotonic() - t0,
+        )
+        self.io.append("metrics", self.spark.createDataFrame(
+            pd.DataFrame([st.__dict__])), rnd)
+        self.io.commit_round(rnd)
+
+        # fold this round's novelties into the bloom bank — distributed build,
+        # only serialized shard banks cross the driver boundary
+        if cfg.use_bloom_prefilter:
+            fresh = seen_mod.build_bank_distributed(
+                self.io.read_round("seen", rnd), "host",
+                cfg.bloom_shards,
+                max(1024, cfg.bloom_capacity // cfg.bloom_shards),
+                cfg.bloom_fp)
+            self._bank = fresh if self._bank is None else self._bank.merge(fresh)
+
+        for df in (frontier, j, pages, winner, dns_j, novel_frontier):
+            df.unpersist()
+        return st
