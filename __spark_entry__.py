@@ -1,38 +1,57 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship crawl-style pipeline at sf0.001; ``queries`` /
+``oracle_sql`` expose every SQL-expressible operator from SURVEY.md §2 plus
+the training-data pipeline ops, implemented in
+``subdomain_crawler_spark/plans/driver_queries.py`` (Spark) with DuckDB
+oracles generated from the same Python constants.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from subdomain_crawler_spark.plans import driver_queries as dq  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one crawl-shaped round over sf0.001 — synthesize page text
+    from ``documents``, extract hostnames (X1, Arrow UDF), canonical-dedup
+    against a seen set (D1 left_anti), count discoveries per host."""
+    from pyspark.sql import functions as F
+
+    from subdomain_crawler_spark.functions import udfs
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("Visit "), "source", F.lit(".example.com and mirror "),
+                 "lang", F.lit(".example.org <title>doc </title>")).alias("body"),
+    )
+    cands = (pages
+             .withColumn("hosts", udfs.udf_extract_hosts("body"))
+             .select("doc_id", F.explode("hosts").alias("host")))
+    seen = cands.filter(F.col("doc_id") % 5 == 0).select("host").distinct()
+    novel = cands.join(seen, "host", "left_anti")
+    return (novel.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("mentions"))
+            .orderBy(F.desc("mentions"), "host"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 + pipeline ops."""
+    return dict(dq.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracles; queries absent here (fingerprint64,
+    minhash_signature, simhash64, minhash_lsh_pairs) use non-SQL-portable
+    seeded hashing and get the driver's rows-only check."""
+    return dq.oracles()

@@ -1,0 +1,667 @@
+"""Driver-contract queries: every SQL-expressible operator from SURVEY.md §2
+exercised over the driver's testdata tables, each paired with a DuckDB oracle.
+
+Design rules (driver compares row-count + schema + order-insensitive
+value-hash at sf=0.01):
+
+* identical column NAMES and, where possible, types (bigint over int);
+* no raw timestamps/floats in outputs — aggregates are ``round()``ed the same
+  on both sides, rankings order by the rounded value with integer tie-breaks;
+* the SQL string is generated from the same Python constants (prefix list,
+  stopword sets, regexes) the Spark side uses, so the two can't drift.
+
+The queries are grouped: crawl-operator analogs (F*, X*, W*, D1, J*, A1,
+U1 — reference citations in each docstring) and training-data pipeline ops
+(dedup / similarity / text analysis). Ops whose semantics SQL can't express
+(minhash, simhash, fingerprint, phash) ship Spark-only — the driver records
+a rows-only check for them (documented in each docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import core, text as text_k
+from ..functions import udfs
+
+# Go validation / extraction regexes (domain_service.go:33,133) — shared
+# verbatim by both engines (Java regex and RE2 accept this syntax).
+VALID_PATTERN = r"^([a-zA-Z0-9]([a-zA-Z0-9\-]{0,61}[a-zA-Z0-9])?\.)+[a-zA-Z]{2,}$"
+EXTRACT_PATTERN = r"(?i)(?:[a-zA-Z0-9](?:[a-zA-Z0-9\-]{0,61}[a-zA-Z0-9])?\.)+[a-zA-Z]{2,}"
+TITLE_PATTERN = r"(?is)<title[^>]*>(.*?)</title>"
+
+_LANGS = ("de", "en", "es", "fr")  # tie-break order (functions/text.py)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sql_list(items) -> str:
+    return "(" + ", ".join(f"'{i}'" for i in items) + ")"
+
+
+def _sql_array(items) -> str:
+    return "[" + ", ".join(f"'{i}'" for i in items) + "]"
+
+
+# ---------------------------------------------------------------------------
+# crawl-operator analogs
+# ---------------------------------------------------------------------------
+
+
+def q_f1_validate(spark, sf_dir):
+    """F1 — syntactic hostname validation (domain_service.go:33,38-44) over
+    synthesized candidates: one well-formed host per doc + one raw text
+    prefix (mostly invalid)."""
+    d = _t(spark, sf_dir, "documents")
+    synth = d.select("doc_id", F.concat("source", F.lit("."), "lang",
+                                        F.lit(".example.com")).alias("cand"),
+                     F.lit("synth").alias("kind"))
+    raw = d.select("doc_id", F.substring("text", 1, 12).alias("cand"),
+                   F.lit("text").alias("kind"))
+    u = synth.unionByName(raw)
+    return u.select("doc_id", "cand", "kind",
+                    F.trim(F.col("cand")).rlike(VALID_PATTERN).alias("is_valid"))
+
+
+SQL_F1 = f"""
+WITH u AS (
+  SELECT doc_id, source || '.' || lang || '.example.com' AS cand, 'synth' AS kind
+  FROM documents
+  UNION ALL
+  SELECT doc_id, substring(text, 1, 12) AS cand, 'text' AS kind FROM documents
+)
+SELECT doc_id, cand, kind,
+       regexp_matches(trim(cand), '{VALID_PATTERN}') AS is_valid
+FROM u
+"""
+
+
+def q_f2_scope(spark, sf_dir):
+    """F2 — scope predicate domain==root OR endswith('.'+root)
+    (domain_service.go:55-61)."""
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat("source", F.lit(".example.com"))
+    root = F.when(F.col("doc_id") % 2 == 0, "example.com").otherwise("other.org")
+    return d.select(
+        "doc_id", host.alias("host"), root.alias("root"),
+        ((host == root) | host.endswith(F.concat(F.lit("."), root))).alias("in_scope"),
+    )
+
+
+SQL_F2 = """
+SELECT doc_id,
+       source || '.example.com' AS host,
+       CASE WHEN doc_id % 2 = 0 THEN 'example.com' ELSE 'other.org' END AS root,
+       (source || '.example.com' =
+          CASE WHEN doc_id % 2 = 0 THEN 'example.com' ELSE 'other.org' END)
+       OR suffix(source || '.example.com',
+          '.' || CASE WHEN doc_id % 2 = 0 THEN 'example.com' ELSE 'other.org' END)
+         AS in_scope
+FROM documents
+"""
+
+
+def q_x6_depth(spark, sf_dir):
+    """X6 — subdomain depth as label-count delta (domain_service.go:81-100,
+    expression form per SURVEY §2.3)."""
+    d = _t(spark, sf_dir, "documents")
+    host = F.expr("repeat('x.', cast(doc_id % 4 as int)) || 'example.com'")
+    d = d.select("doc_id", host.alias("host"), F.lit("example.com").alias("root"))
+    depth = (F.when(F.col("host") == F.col("root"), 0)
+             .otherwise(F.size(F.split("host", r"\.")) - F.size(F.split("root", r"\."))))
+    return d.select("doc_id", "host", depth.cast("long").alias("depth"))
+
+
+SQL_X6 = """
+WITH h AS (
+  SELECT doc_id, repeat('x.', CAST(doc_id % 4 AS INT)) || 'example.com' AS host,
+         'example.com' AS root
+  FROM documents
+)
+SELECT doc_id, host,
+       CASE WHEN host = root THEN 0
+            ELSE len(string_split(host, '.')) - len(string_split(root, '.'))
+       END::BIGINT AS depth
+FROM h
+"""
+
+
+def q_x3_title(spark, sf_dir):
+    """X3 — title extraction + whitespace collapse (domain_service.go:213-232)."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(F.lit('<title lang="x">  '), F.substring("text", 1, 30),
+                    F.lit("\t</title><body>"), F.col("lang"), F.lit("</body>"))
+    t = F.regexp_extract(html, TITLE_PATTERN, 1)
+    t = F.trim(F.regexp_replace(F.regexp_replace(t, r"[\n\r\t]", " "), r"\s+", " "))
+    return d.select("doc_id", t.alias("title"))
+
+
+SQL_X3 = f"""
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(
+     regexp_extract('<title lang="x">  ' || substring(text,1,30) || chr(9)
+                    || '</title><body>' || lang || '</body>',
+                    '{TITLE_PATTERN}', 1),
+     '[\\n\\r\\t]', ' ', 'g'), '\\s+', ' ', 'g')) AS title
+FROM documents
+"""
+
+
+def q_x1_extract(spark, sf_dir):
+    """X1 — regex hostname extraction, lowercased (domain_service.go:133-153;
+    the synthesized hosts are distinct so per-doc dedup is a no-op here —
+    dedup order semantics are pinned by tests/test_core.py instead)."""
+    d = _t(spark, sf_dir, "documents")
+    t2 = F.concat(F.lit("visit "), "source", F.lit(".Example.COM and "),
+                  "lang", F.lit(".example.org now"))
+    d = d.withColumn("t2", t2)
+    return d.select(
+        "doc_id",
+        F.transform(F.regexp_extract_all("t2", F.lit(EXTRACT_PATTERN), F.lit(0)),
+                    lambda x: F.lower(x)).alias("hosts"),
+    )
+
+
+SQL_X1 = f"""
+SELECT doc_id,
+  list_transform(
+    regexp_extract_all('visit ' || source || '.Example.COM and ' || lang
+                       || '.example.org now', '{EXTRACT_PATTERN}'),
+    x -> lower(x)) AS hosts
+FROM documents
+"""
+
+
+def q_x4_expand(spark, sf_dir):
+    """X4 — SLD fan-out with the reference's 133-prefix list
+    (expander.go:11-131); one SLD per distinct source."""
+    d = _t(spark, sf_dir, "documents").select("source").distinct()
+    prefixes = core.merged_prefixes()
+    sld = F.concat("source", F.lit(".example.com"))
+    arr = F.concat(
+        F.array(sld),
+        F.transform(F.array(*[F.lit(p) for p in prefixes]),
+                    lambda p: F.concat(p, F.lit("."), sld)),
+    )
+    return (d.select(sld.alias("sld"), F.explode(arr).alias("candidate")))
+
+
+def _sql_x4() -> str:
+    prefixes = core.merged_prefixes()
+    return f"""
+WITH s AS (SELECT DISTINCT source || '.example.com' AS sld FROM documents)
+SELECT sld, unnest(list_prepend(sld,
+        list_transform({_sql_array(prefixes)}, p -> p || '.' || sld))) AS candidate
+FROM s
+"""
+
+
+def q_w1_first_success(spark, sf_dir):
+    """W1 — first-success-per-key (worker.go:90-126 protocol loop → window
+    row_number over priority order; here: first event per user)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.withColumn("rn", F.row_number().over(w))
+             .filter("rn = 1")
+             .select("user_id", F.col("event_id").alias("first_event_id"),
+                     F.col("event_type").alias("first_event_type")))
+
+
+SQL_W1 = """
+SELECT user_id, event_id AS first_event_id, event_type AS first_event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def q_d1_anti_join(spark, sf_dir):
+    """D1 — seen-set exact left_anti (bloom accelerator never changes this;
+    bloom_filter.go:26-46 → SURVEY §2.4 canonical semantics)."""
+    d = _t(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    return (d.join(seen, "doc_id", "left_anti")
+             .select("doc_id", "source"))
+
+
+SQL_D1 = """
+SELECT doc_id, source FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+"""
+
+
+def q_j3_semi_join(spark, sf_dir):
+    """J3 — scope whitelist as broadcast left-semi join
+    (domain_service.go:62-70 → SURVEY §2.5)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_semi")
+    return (c.join(F.broadcast(asian), c.c_nationkey == asian.n_nationkey,
+                   "left_semi")
+             .select("c_custkey", "c_name"))
+
+
+SQL_J3 = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_nationkey IN (
+  SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+    SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
+"""
+
+
+def q_w2_budget(spark, sf_dir):
+    """W2 — per-key politeness budget: top-3 per customer by (date, key)
+    (north-rule addition; operators/politeness.py is the salted scale form)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (o.withColumn("rn", F.row_number().over(w))
+             .filter("rn <= 3")
+             .select("o_custkey", "o_orderkey", F.col("rn").cast("long").alias("rn")))
+
+
+SQL_W2 = """
+SELECT o_custkey, o_orderkey, rn::BIGINT AS rn
+FROM (SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) rn
+      FROM orders) WHERE rn <= 3
+"""
+
+
+def q_a1_metrics(spark, sf_dir):
+    """A1 — per-round counters as grouped aggregates
+    (crawl_usecase.go:331-357)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("requests"),
+                  F.round(F.sum("value"), 2).alias("sum_value"),
+                  F.countDistinct("user_id").alias("users")))
+
+
+SQL_A1 = """
+SELECT event_type, count(*) AS requests, round(sum(value), 2) AS sum_value,
+       count(DISTINCT user_id) AS users
+FROM events GROUP BY event_type
+"""
+
+
+def q_u1_union_dedup(spark, sf_dir):
+    """U1 — frontier union + dropDuplicates (worker.go:194-223 feedback loop)."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "view").select("user_id")
+    return a.unionByName(b).distinct()
+
+
+SQL_U1 = """
+SELECT DISTINCT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  UNION ALL SELECT user_id FROM events WHERE event_type = 'view')
+"""
+
+
+def q_tpch_q1(spark, sf_dir):
+    """Headline pricing-summary aggregate (TPC-H Q1 shape) — map-side
+    partial agg + single shuffle; the A1-at-scale pattern."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 2) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    """Headline join query (TPC-H Q3 shape): broadcast dim join + grouped
+    revenue + deterministic top-10."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .groupBy("l_orderkey")
+              .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                    .alias("revenue"))
+              .orderBy(F.desc("revenue"), "l_orderkey")
+              .limit(10))
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via hash-groupBy: keeper = min id per normalized key
+    (here: first 3 tokens of the text as the near-key)."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 3), " ")
+    return (d.select(key.alias("key"), "doc_id")
+             .groupBy("key")
+             .agg(F.min("doc_id").alias("keeper"),
+                  F.count(F.lit(1)).alias("dup_count")))
+
+
+SQL_DEDUP_EXACT = """
+SELECT array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:3], ' ') AS key,
+       min(doc_id) AS keeper, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Whitespace token count — size(split(trim(s), '\\s+'))."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"))
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality proxy: round(en-stopword-ratio, 4) (functions/text.py
+    quality_score — same stopword list on both sides)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    sw = list(text_k.STOPWORDS["en"])
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    score = F.round(hits.cast("double") / F.greatest(F.size(toks), F.lit(1)), 4)
+    return d.select("doc_id", score.alias("quality"))
+
+
+def _sql_quality() -> str:
+    sw = _sql_array(text_k.STOPWORDS["en"])
+    return f"""
+SELECT doc_id,
+  round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        t -> list_contains({sw}, t)))::DOUBLE
+        / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4)
+  AS quality
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic: argmax of per-language stopword hits,
+    tie-break de<en<es<fr, zero hits → 'und' (functions/text.py lang_id)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+
+    def _hit(lang):
+        sw = list(text_k.STOPWORDS[lang])
+        return F.size(F.filter(toks, lambda t: t.isin(sw)))
+
+    d = d.select("doc_id", *[_hit(x).alias(f"h_{x}") for x in _LANGS])
+    expr = (
+        F.when((F.col("h_de") >= F.greatest("h_en", "h_es", "h_fr"))
+               & (F.col("h_de") > 0), "de")
+        .when((F.col("h_en") >= F.greatest("h_es", "h_fr")) & (F.col("h_en") > 0), "en")
+        .when((F.col("h_es") >= F.col("h_fr")) & (F.col("h_es") > 0), "es")
+        .when(F.col("h_fr") > 0, "fr")
+        .otherwise("und"))
+    return d.select("doc_id", expr.alias("lang_pred"))
+
+
+def _sql_lang_id() -> str:
+    hit = lambda lang: (
+        f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        f"t -> list_contains({_sql_array(text_k.STOPWORDS[lang])}, t)))")
+    return f"""
+WITH h AS (
+  SELECT doc_id, {hit('de')} AS h_de, {hit('en')} AS h_en,
+         {hit('es')} AS h_es, {hit('fr')} AS h_fr
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN h_de >= greatest(h_en, h_es, h_fr) AND h_de > 0 THEN 'de'
+       WHEN h_en >= greatest(h_es, h_fr) AND h_en > 0 THEN 'en'
+       WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+       WHEN h_fr > 0 THEN 'fr'
+       ELSE 'und' END AS lang_pred
+FROM h
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup scoring on adjacent doc pairs (the scalable
+    all-pairs form is LSH-bucketed; this pins the pair-metric semantics)."""
+    d = _t(spark, sf_dir, "documents")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(
+            F.size(F.split(F.trim("text"), r"\s+")) - 2, F.lit(1))),
+        lambda i: F.array_join(
+            F.slice(F.split(F.trim("text"), r"\s+"), i, 3), " ")))
+    a = d.select(F.col("doc_id"), grams.alias("g1"))
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"), grams.alias("g2"))
+    j = a.join(b, "doc_id")
+    inter = F.size(F.array_intersect("g1", "g2"))
+    uni = F.size(F.array_union("g1", "g2"))
+    return j.select(
+        "doc_id",
+        F.round(inter.cast("double") / F.greatest(uni, F.lit(1)), 4).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = """
+WITH g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(regexp_split_to_array(trim(text),'\\s+')) - 2, 1)),
+      i -> array_to_string(regexp_split_to_array(trim(text),'\\s+')[i:i+2], ' ')))
+    AS grams
+  FROM documents
+)
+SELECT a.doc_id,
+  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1), 4) AS jaccard
+FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Similarity search — brute-force cosine top-10 vs the vec_id=0 query
+    vector (F.aggregate/zip_with dot products, JVM-side)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(F.zip_with("embedding", "qv", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("embedding", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("qv", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    cos = F.round(dot / (na * nb), 4)
+    return (j.select("vec_id", cos.alias("cos_sim"))
+             .orderBy(F.desc("cos_sim"), "vec_id").limit(10))
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  round(list_inner_product(embedding, qv) /
+        (sqrt(list_inner_product(embedding, embedding))
+         * sqrt(list_inner_product(qv, qv))), 4) AS cos_sim
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_lsh_bucket(spark, sf_dir):
+    """ANN scale path: deterministic sign-LSH bucketing (first 8 dims) +
+    within-bucket cosine vs the query — the IVF/LSH pruning pattern where
+    only the query's bucket is scanned."""
+    e = _t(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (F.when(F.col("embedding")[i] > 0, 1 << i).otherwise(0)) for i in range(8)
+    ).cast("long")
+    eb = e.withColumn("bucket", bucket)
+    q = (eb.filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("qv"), F.col("bucket").alias("qb")))
+    j = (eb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+           .filter(F.col("bucket") == F.col("qb")))
+    dot = F.aggregate(F.zip_with("embedding", "qv", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("embedding", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("qv", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return (j.select("vec_id", F.col("bucket"),
+                     F.round(dot / (na * nb), 4).alias("cos_sim"))
+             .orderBy(F.desc("cos_sim"), "vec_id").limit(5))
+
+
+SQL_ANN_LSH = """
+WITH b AS (
+  SELECT vec_id, embedding,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+     + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+     + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
+     + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
+     + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)::BIGINT AS bucket
+  FROM embeddings
+), q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT vec_id, bucket,
+  round(list_inner_product(embedding, qv) /
+        (sqrt(list_inner_product(embedding, embedding))
+         * sqrt(list_inner_product(qv, qv))), 4) AS cos_sim
+FROM b, q WHERE vec_id <> 0 AND bucket = qb
+ORDER BY cos_sim DESC, vec_id LIMIT 5
+"""
+
+
+# -- Spark-only ops (no SQL-expressible oracle → driver rows-only check) -----
+
+
+def q_fingerprint64(spark, sf_dir):
+    """Document fingerprint: Rabin-Karp rolling hash over UTF-8 bytes mod
+    2^61-1 (functions/text.py) via Arrow pandas UDF. Char-level SQL oracle is
+    possible but O(chars) row-expansion; rows-only check for now."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", udfs.udf_fingerprint64("text").alias("fp64"))
+
+
+def q_minhash_signature(spark, sf_dir):
+    """MinHash (64 perms over 5-char shingles) — dedup sketch; seeded affine
+    perms aren't SQL-portable → rows-only check."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", udfs.udf_minhash64("text").alias("minhash"))
+
+
+def q_simhash64(spark, sf_dir):
+    """SimHash64 over tokens — near-dup sketch; rows-only check."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", udfs.udf_simhash64("text").alias("simhash"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash LSH near-dup candidate pairs: band the 64-perm signature into
+    8 bands × 8 rows, self-join on (band, band-hash), dedup pairs.
+    Rows-only check (signature seeds aren't SQL-portable)."""
+    d = _t(spark, sf_dir, "documents")
+    sig = d.select("doc_id", udfs.udf_minhash64("text").alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(7)),
+                        lambda b: F.slice("sig", b * 8 + 1, 8))
+        ).alias("band", "band_sig"))
+    bands = bands.withColumn("bh", F.xxhash64(F.col("band"), F.col("band_sig")))
+    a = bands.select(F.col("doc_id").alias("a"), "bh")
+    b = bands.select(F.col("doc_id").alias("b"), "bh")
+    return (a.join(b, "bh").filter(F.col("a") < F.col("b"))
+             .select("a", "b").distinct())
+
+
+QUERIES = {
+    "f1_validate": q_f1_validate,
+    "f2_scope": q_f2_scope,
+    "x6_depth": q_x6_depth,
+    "x3_title": q_x3_title,
+    "x1_extract": q_x1_extract,
+    "x4_expand": q_x4_expand,
+    "w1_first_success": q_w1_first_success,
+    "d1_anti_join": q_d1_anti_join,
+    "j3_semi_join": q_j3_semi_join,
+    "w2_budget": q_w2_budget,
+    "a1_metrics": q_a1_metrics,
+    "u1_union_dedup": q_u1_union_dedup,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "ngram_jaccard": q_ngram_jaccard,
+    "cosine_topk": q_cosine_topk,
+    "ann_lsh_bucket": q_ann_lsh_bucket,
+    "fingerprint64": q_fingerprint64,
+    "minhash_signature": q_minhash_signature,
+    "simhash64": q_simhash64,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "f1_validate": SQL_F1,
+        "f2_scope": SQL_F2,
+        "x6_depth": SQL_X6,
+        "x3_title": SQL_X3,
+        "x1_extract": SQL_X1,
+        "x4_expand": _sql_x4(),
+        "w1_first_success": SQL_W1,
+        "d1_anti_join": SQL_D1,
+        "j3_semi_join": SQL_J3,
+        "w2_budget": SQL_W2,
+        "a1_metrics": SQL_A1,
+        "u1_union_dedup": SQL_U1,
+        "tpch_q1": SQL_TPCH_Q1,
+        "tpch_q3": SQL_TPCH_Q3,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "token_count": SQL_TOKEN_COUNT,
+        "quality_score": _sql_quality(),
+        "lang_id": _sql_lang_id(),
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "cosine_topk": SQL_COSINE_TOPK,
+        "ann_lsh_bucket": SQL_ANN_LSH,
+        # fingerprint64 / minhash_signature / simhash64 / minhash_lsh_pairs:
+        # intentionally no oracle (non-SQL-portable seeds) → rows-only check
+    }
