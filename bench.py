@@ -1,0 +1,162 @@
+"""Benchmark entry — prints ONE JSON line for the driver.
+
+Runs (a) the headline driver-contract queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and (b) the flagship crawl over the
+deterministic synthetic web, on local[$SPARK_GRAFT_CPUS].
+
+Output: {"metric": ..., "value": <total sec>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": <float>,
+         "crawl": {urls_per_sec, subdomains_per_sec, ...}}
+
+Scaling-efficiency evidence (north rule: N vs 4N) is produced by
+``python bench.py --scaling`` which runs the same crawl at local[8] and
+local[32] in separate JVMs and writes BENCH/BASELINE.md — see that file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("subdomain-crawler-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+HEADLINE = [
+    "tpch_q1", "tpch_q3", "x1_extract", "x4_expand", "w1_first_success",
+    "w2_budget", "d1_anti_join", "dedup_exact", "token_count",
+    "quality_score", "lang_id", "ngram_jaccard", "cosine_topk",
+    "ann_lsh_bucket", "fingerprint64", "simhash64", "minhash_lsh_pairs",
+]
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from subdomain_crawler_spark.plans import driver_queries as dq
+
+    # JVM/Arrow warmup (not counted)
+    dq.QUERIES["tpch_q1"](spark, sf_dir).count()
+
+    out = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        dq.QUERIES[name](spark, sf_dir).count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def run_crawl(spark, scale: int) -> dict:
+    from subdomain_crawler_spark.config import CrawlConfig
+    from subdomain_crawler_spark.plans.crawl import CrawlEngine
+    from subdomain_crawler_spark.sources import fixtures
+
+    tables = fixtures.make_web(scale=scale, seed=42)
+    base = tempfile.mkdtemp(prefix="crawl_bench_")
+    try:
+        fixtures.write_parquet(tables, base)
+        corpus = spark.read.parquet(f"{base}/corpus.parquet")
+        dns = spark.read.parquet(f"{base}/dns.parquet")
+        eng = CrawlEngine(spark, CrawlConfig(honor_robots=False),
+                          f"{base}/crawl", corpus, dns)
+        t0 = time.monotonic()
+        stats = eng.run(seeds=list(tables["seeds"]["seed"]), max_rounds=16)
+        wall = time.monotonic() - t0
+        processed = sum(s.tasks_processed for s in stats)
+        novel = sum(s.unique_subdomains for s in stats)
+        return {
+            "scale": scale,
+            "rounds": len(stats),
+            "frontier_urls": processed,
+            "subdomains_discovered": novel,
+            "wall_sec": round(wall, 2),
+            "urls_per_sec": round(processed / wall, 1),
+            "subdomains_per_sec": round(novel / wall, 1),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    crawl_scale = int(os.environ.get("SPARK_GRAFT_CRAWL_SCALE", "40"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = build_spark(cpus)
+    queries = run_queries(spark, sf_dir)
+    crawl = run_crawl(spark, crawl_scale)
+    spark.stop()
+
+    total = round(sum(queries.values()) + crawl["wall_sec"], 3)
+    print(json.dumps({
+        "metric": "headline suite + crawl wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": {**queries, "crawl": crawl["wall_sec"]},
+        "sf": sf,
+        "cpus": cpus,
+        "crawl": crawl,
+    }))
+
+
+def scaling() -> None:
+    """Run the crawl bench in two fresh JVMs at local[8] and local[32] and
+    report throughput + scaling efficiency (north rule ≥0.8 N→4N evidence)."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_BENCH_MODE="crawl_only")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+            env=env, capture_output=True, text=True, check=True)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8 = results[8]["crawl"]["urls_per_sec"]
+    t32 = results[32]["crawl"]["urls_per_sec"]
+    eff = round(t32 / t8 / 4.0, 3)
+    report = {
+        "local8": results[8]["crawl"],
+        "local32": results[32]["crawl"],
+        "scaling_efficiency_8_to_32": eff,
+    }
+    print(json.dumps(report, indent=2))
+
+
+def crawl_only() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    crawl_scale = int(os.environ.get("SPARK_GRAFT_CRAWL_SCALE", "40"))
+    spark = build_spark(cpus)
+    crawl = run_crawl(spark, crawl_scale)
+    spark.stop()
+    print(json.dumps({"cpus": cpus, "crawl": crawl}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif "--crawl-only" in sys.argv:
+        crawl_only()
+    else:
+        main()

@@ -25,6 +25,10 @@ class CrawlConfig:
     bloom_capacity: int = 1_000_000
     bloom_fp: float = 0.01
     use_bloom_prefilter: bool = True
+    # below this many cumulative seen hosts the bank is pure overhead (two
+    # extra jobs/round); the exact anti-join alone is faster. At 10^10 scale
+    # the bank prunes the shuffle that dominates — always on there.
+    bloom_min_seen: int = 100_000
 
     # politeness / skew (north-rule additions, M4)
     salt_buckets: int = 8           # salts per root for hot-SLD skew

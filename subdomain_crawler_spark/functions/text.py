@@ -135,39 +135,50 @@ def _hash64_numpy(vals: list[str]) -> np.ndarray:
     return out
 
 
-# MinHash: h_i(x) = (a_i * x + b_i) mod p, p = 2^61-1, seeded constants
-_MINHASH_P = np.uint64((1 << 61) - 1)
+# MinHash: h_i(x) = (a_i * x + b_i) mod p over crc32 shingle hashes.
+# p = 2^31-1 (Mersenne) keeps a_i * x < 2^62 → exact in uint64, fully
+# numpy-vectorized: the (num_hashes × n_shingles) grid is one broadcast op.
+_MINHASH_P = (1 << 31) - 1
 
 
 def _minhash_coeffs(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, 1 << 61, size=num_hashes, dtype=np.uint64)
-    b = rng.randint(0, 1 << 61, size=num_hashes, dtype=np.uint64)
+    a = rng.randint(1, _MINHASH_P, size=num_hashes, dtype=np.uint64)
+    b = rng.randint(0, _MINHASH_P, size=num_hashes, dtype=np.uint64)
     return a, b
+
+
+def _crc32_hashes(vals: list[str]) -> np.ndarray:
+    import zlib
+
+    return np.fromiter((zlib.crc32(v.encode("utf-8")) for v in vals),
+                       dtype=np.uint64, count=len(vals))
 
 
 def minhash_signature_one(shingles: list[str], num_hashes: int = 64, seed: int = 42) -> list[int]:
     if not shingles:
         return [int(_MINHASH_P)] * num_hashes
     a, b = _minhash_coeffs(num_hashes, seed)
-    x = _hash64_numpy(shingles) & np.uint64((1 << 61) - 1)
-    # (num_hashes, n_shingles) — exact mod-p arithmetic via object ints would
-    # be slow; use uint64 mul-mod through python ints per hash (n small)
-    sig = np.empty(num_hashes, dtype=np.uint64)
-    xs = x.astype(object)
-    p = int(_MINHASH_P)
-    for i in range(num_hashes):
-        ai, bi = int(a[i]), int(b[i])
-        vals = [(ai * int(v) + bi) % p for v in xs]
-        sig[i] = min(vals)
-    return [int(v) for v in sig]
+    x = _crc32_hashes(shingles) % np.uint64(_MINHASH_P)
+    grid = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MINHASH_P)
+    return [int(v) for v in grid.min(axis=1)]
+
+
+def _splitmix64(h: np.ndarray) -> np.ndarray:
+    mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+    h = (h + np.uint64(0x9E3779B97F4A7C15)) & mask
+    h = ((h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & mask
+    h = ((h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & mask
+    return h ^ (h >> np.uint64(31))
 
 
 def simhash64_one(toks: list[str]) -> int:
-    """Classic 64-bit SimHash over token hashes (unweighted)."""
+    """Classic 64-bit SimHash over token hashes (unweighted); token hash =
+    splitmix64(crc32) — C-speed and deterministic."""
     if not toks:
         return 0
-    hs = _hash64_numpy(toks)
+    with np.errstate(over="ignore"):
+        hs = _splitmix64(_crc32_hashes(toks))
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
     counts = bits.sum(axis=0)
     vec = (counts * 2 - len(toks)) > 0

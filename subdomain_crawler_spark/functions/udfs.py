@@ -10,6 +10,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, BooleanType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 from . import core, image, text
@@ -54,6 +55,24 @@ def udf_extract_hosts_in_scope(texts: pd.Series, roots: pd.Series) -> pd.Series:
 @F.pandas_udf(StringType())
 def udf_extract_title(texts: pd.Series) -> pd.Series:
     return core.extract_title(texts)
+
+
+_PAGE_FEATURES_TYPE = StructType([
+    StructField("cands", ArrayType(StringType())),
+    StructField("title", StringType()),
+])
+
+
+@F.pandas_udf(_PAGE_FEATURES_TYPE)
+def udf_page_features(texts: pd.Series, roots: pd.Series) -> pd.DataFrame:
+    """X1+F2+X3 in ONE Arrow pass: in-scope candidate hosts + page title
+    (worker.go:108-113 does exactly these three on each fetched body)."""
+    extracted = core.extract_hosts(texts)
+    cands = [
+        [c for c in cs if c == root or c.endswith("." + root)]
+        for cs, root in zip(extracted.to_numpy(), roots.to_numpy())
+    ]
+    return pd.DataFrame({"cands": cands, "title": core.extract_title(texts)})
 
 
 @F.pandas_udf(ArrayType(StringType()))

@@ -33,6 +33,7 @@ Scale notes (10^10-URL frontier, 1000 executors):
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 import pandas as pd
@@ -99,6 +100,7 @@ class CrawlEngine:
         self.dns = dns
         self.robots = robots
         self._bank: ShardedSeenFilter | None = None
+        self._seen_total = 0  # cumulative seen-host count (gates the bank)
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -125,18 +127,22 @@ class CrawlEngine:
             # distributed (no row collect)
             seen = self._cumulative_seen(rnd)
             if seen is not None:
-                self._bank = seen_mod.build_bank_distributed(
-                    seen, "host", self.cfg.bloom_shards,
-                    max(1024, self.cfg.bloom_capacity // self.cfg.bloom_shards),
-                    self.cfg.bloom_fp)
+                self._seen_total = seen.count()
+                if self._seen_total >= self.cfg.bloom_min_seen:
+                    self._bank = seen_mod.build_bank_distributed(
+                        seen, "host", self.cfg.bloom_shards,
+                        max(1024, self.cfg.bloom_capacity // self.cfg.bloom_shards),
+                        self.cfg.bloom_fp)
         stats: list[RoundStats] = []
         while rnd < max_rounds:
             if not self.io.exists("frontier", rnd):
                 break
-            frontier = self.io.read_round("frontier", rnd)
-            if frontier.isEmpty():
+            frontier = self.io.read_round("frontier", rnd).persist()
+            n = frontier.count()
+            if n == 0:
+                frontier.unpersist()
                 break
-            st = self._run_round(rnd, frontier)
+            st = self._run_round(rnd, frontier, n)
             stats.append(st)
             if progress:
                 progress(st)
@@ -167,13 +173,15 @@ class CrawlEngine:
 
         return cand.withColumn("_maybe_seen", maybe_seen(F.col("cand")))
 
-    def _run_round(self, rnd: int, frontier: DataFrame) -> RoundStats:
+    def _run_round(self, rnd: int, frontier: DataFrame,
+                   tasks_processed: int) -> RoundStats:
         t0 = time.monotonic()
         cfg = self.cfg
         spark = self.spark
 
-        frontier = frontier.persist()
-        tasks_processed = frontier.count()
+        # small rounds write single-task files; big rounds keep parallelism
+        small = tasks_processed < 200_000
+        shrink = (lambda df: df.coalesce(1)) if small else (lambda df: df)
 
         # politeness (W2, north-rule addition): per-root budget via salted
         # window; deferred rows carry over to the next round's frontier
@@ -215,8 +223,8 @@ class CrawlEngine:
             .select(F.lit(rnd).alias("round"), "host", "a.proto", "a.url",
                     "a.status_code", "a.error"))
 
-        # ---- metrics pieces --------------------------------------------------
-        agg = j.agg(
+        # ---- metrics pieces (job launched in parallel with the rest) ---------
+        agg_df = j.agg(
             F.sum(F.col("active").cast("long")).alias("https_attempts"),
             F.sum(F.col("http_att").cast("long")).alias("http_attempts"),
             F.sum(F.col("fetched").cast("long")).alias("success"),
@@ -224,12 +232,13 @@ class CrawlEngine:
             F.sum((F.col("http_att") & ~F.col("http_ok")).cast("long")).alias("e2"),
             F.sum((F.col("active") & ~F.col("fetched")).cast("long")).alias("e3"),
             F.sum(F.col("active").cast("long")).alias("dns_requests"),
-        ).collect()[0]
+        )
 
-        # ---- extraction (X1+F2 fused, X3) on fetched pages ------------------
+        # ---- extraction (X1+F2 fused with X3 title — ONE Arrow pass) ---------
         pages = (j.filter("fetched")
-                  .withColumn("cands", udfs.udf_extract_hosts_in_scope("caption", "root"))
-                  .withColumn("title", udfs.udf_extract_title("caption"))
+                  .withColumn("pf", udfs.udf_page_features("caption", "root"))
+                  .select("host", "root", F.col("pf.cands").alias("cands"),
+                          F.col("pf.title").alias("title"))
                   .persist())
 
         exploded = pages.select(
@@ -240,6 +249,7 @@ class CrawlEngine:
         # ---- D1: novel = candidates not in cumulative seen -------------------
         cand_dist = exploded.select("cand").distinct()
         seen = self._cumulative_seen(rnd)
+        split = None
         if seen is None:
             novel = cand_dist
         elif self._bank is not None:
@@ -255,6 +265,7 @@ class CrawlEngine:
                   .agg(F.min(F.struct("parent", "parent_root")).alias("w"))
                   .select("cand", F.col("w.parent").alias("winner"),
                           F.col("w.parent_root").alias("winner_root"))
+                  .withColumn("depth", udfs.udf_get_depth("cand"))
                   .persist())
 
         # per-page novel list in extraction order (result.subdomains semantics)
@@ -294,28 +305,40 @@ class CrawlEngine:
                               F.lit("dns error: NXDOMAIN")).alias("error"),
                    ))
 
-        # ---- next frontier (U1) ----------------------------------------------
+        # ---- next frontier (U1) ------------------------------------------------
         novel_frontier = (winner
-                          .withColumn("depth", udfs.udf_get_depth("cand"))
                           .filter(F.col("depth") <= F.lit(cfg.max_depth))
                           .select(F.col("cand").alias("host"),
-                                  F.col("winner_root").alias("root"), "depth")
-                          .persist())
-        tasks_enqueued = novel_frontier.count()
+                                  F.col("winner_root").alias("root"), "depth"))
         next_frontier = novel_frontier
         if deferred is not None:
             next_frontier = self._dedup_frontier(
                 next_frontier.unionByName(deferred))
 
-        # ---- commit round -----------------------------------------------------
+        # ---- commit round: independent jobs run concurrently -------------------
         novel_df = winner.select(F.col("cand").alias("host"))
-        self.io.append("results", results, rnd)
-        self.io.append("http_log", http_log, rnd)
-        self.io.append("dns_log", dns_log, rnd)
-        self.io.append("seen", novel_df, rnd)
-        self.io.append("frontier", next_frontier, rnd + 1)
-
-        unique_subdomains = self.io.read_round("seen", rnd).count()
+        wc_df = winner.agg(
+            F.count(F.lit(1)).alias("novel"),
+            F.sum((F.col("depth") <= F.lit(cfg.max_depth)).cast("long"))
+             .alias("enqueued"),
+        )
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            f_agg = pool.submit(lambda: agg_df.collect()[0])
+            f_wc = pool.submit(lambda: wc_df.collect()[0])
+            writes = [
+                pool.submit(self.io.append, "results", shrink(results), rnd),
+                pool.submit(self.io.append, "http_log", shrink(http_log), rnd),
+                pool.submit(self.io.append, "dns_log", shrink(dns_log), rnd),
+                pool.submit(self.io.append, "seen", shrink(novel_df), rnd),
+                pool.submit(self.io.append, "frontier", shrink(next_frontier),
+                            rnd + 1),
+            ]
+            for w in writes:
+                w.result()
+            agg = f_agg.result()
+            wc = f_wc.result()
+        unique_subdomains = int(wc["novel"] or 0)
+        tasks_enqueued = int(wc["enqueued"] or 0)
 
         st = RoundStats(
             round=rnd,
@@ -333,15 +356,26 @@ class CrawlEngine:
         self.io.commit_round(rnd)
 
         # fold this round's novelties into the bloom bank — distributed build,
-        # only serialized shard banks cross the driver boundary
-        if cfg.use_bloom_prefilter:
+        # only serialized shard banks cross the driver boundary. Below
+        # bloom_min_seen the bank stays off: two extra jobs/round for a prune
+        # the tiny exact anti-join doesn't need.
+        self._seen_total += unique_subdomains
+        if (cfg.use_bloom_prefilter and unique_subdomains
+                and self._seen_total >= cfg.bloom_min_seen):
+            if self._bank is None:
+                # first activation: cover everything seen so far
+                src = self._cumulative_seen(rnd + 1)
+            else:
+                src = novel_df
             fresh = seen_mod.build_bank_distributed(
-                self.io.read_round("seen", rnd), "host",
+                src, "host",
                 cfg.bloom_shards,
                 max(1024, cfg.bloom_capacity // cfg.bloom_shards),
                 cfg.bloom_fp)
             self._bank = fresh if self._bank is None else self._bank.merge(fresh)
 
-        for df in (frontier, j, pages, winner, dns_j, novel_frontier):
+        for df in (frontier, j, pages, winner, dns_j):
             df.unpersist()
+        if split is not None:
+            split.unpersist()
         return st

@@ -33,7 +33,8 @@ def _sim(fixture_web, cfg):
 
 @pytest.fixture(scope="module", params=[False, True], ids=["exact", "bloom"])
 def crawl_pair(request, spark, fixture_web, tmp_path_factory):
-    cfg = CrawlConfig(use_bloom_prefilter=request.param, honor_robots=False)
+    cfg = CrawlConfig(use_bloom_prefilter=request.param, honor_robots=False,
+                      bloom_min_seen=0)  # force the bank on at fixture scale
     eng, stats = _run_engine(spark, fixture_web,
                              tmp_path_factory.mktemp(f"run{request.param}"), cfg)
     sim = _sim(fixture_web, cfg)
