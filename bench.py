@@ -35,7 +35,8 @@ def build_spark(cpus: int):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -64,26 +65,24 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_crawl(spark, scale: int) -> dict:
+def _crawl_over(spark, base: str, seeds: list[str], label: dict) -> dict:
     from subdomain_crawler_spark.config import CrawlConfig
     from subdomain_crawler_spark.plans.crawl import CrawlEngine
-    from subdomain_crawler_spark.sources import fixtures
 
-    tables = fixtures.make_web(scale=scale, seed=42)
-    base = tempfile.mkdtemp(prefix="crawl_bench_")
+    workdir = tempfile.mkdtemp(prefix="crawl_run_")
     try:
-        fixtures.write_parquet(tables, base)
         corpus = spark.read.parquet(f"{base}/corpus.parquet")
         dns = spark.read.parquet(f"{base}/dns.parquet")
         eng = CrawlEngine(spark, CrawlConfig(honor_robots=False),
-                          f"{base}/crawl", corpus, dns)
+                          f"{workdir}/crawl", corpus, dns)
+        max_rounds = int(os.environ.get("SPARK_GRAFT_MAX_ROUNDS", "16"))
         t0 = time.monotonic()
-        stats = eng.run(seeds=list(tables["seeds"]["seed"]), max_rounds=16)
+        stats = eng.run(seeds=seeds, max_rounds=max_rounds)
         wall = time.monotonic() - t0
         processed = sum(s.tasks_processed for s in stats)
         novel = sum(s.unique_subdomains for s in stats)
         return {
-            "scale": scale,
+            **label,
             "rounds": len(stats),
             "frontier_urls": processed,
             "subdomains_discovered": novel,
@@ -92,7 +91,52 @@ def run_crawl(spark, scale: int) -> dict:
             "subdomains_per_sec": round(novel / wall, 1),
         }
     finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def run_crawl(spark, scale: int) -> dict:
+    """Small correctness-shaped crawl (image corpus) for the per-round bench."""
+    from subdomain_crawler_spark.sources import fixtures
+
+    base = tempfile.mkdtemp(prefix="crawl_bench_")
+    try:
+        tables = fixtures.make_web(scale=scale, seed=42)
+        fixtures.write_parquet(tables, base)
+        return _crawl_over(spark, base, list(tables["seeds"]["seed"]),
+                           {"scale": scale})
+    finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def scaling_web_dir(n_roots: int, hosts_per_root: int, bloat: int) -> str:
+    """Generate (once) and cache the big image-free scaling corpus so the
+    local[8] and local[32] JVMs crawl identical input."""
+    from subdomain_crawler_spark.sources import fixtures
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"scaling_web_r{n_roots}_h{hosts_per_root}_b{bloat}")
+    marker = os.path.join(base, "_DONE")
+    if not os.path.exists(marker):
+        tables = fixtures.make_scaling_web(n_roots=n_roots,
+                                           hosts_per_root=hosts_per_root,
+                                           bloat_words=bloat)
+        fixtures.write_parquet(tables, base,
+                               n_files={"corpus": 64, "dns": 16})
+        with open(marker, "w") as f:
+            f.write("ok")
+    return base
+
+
+def run_scaling_crawl(spark, cpus: int) -> dict:
+    n_roots = int(os.environ.get("SPARK_GRAFT_SCALING_ROOTS", "1200"))
+    hpr = int(os.environ.get("SPARK_GRAFT_SCALING_HPR", "24"))
+    bloat = int(os.environ.get("SPARK_GRAFT_SCALING_BLOAT", "120"))
+    base = scaling_web_dir(n_roots, hpr, bloat)
+    seeds = [f"site{i}.com" for i in range(n_roots)]
+    return _crawl_over(spark, base, seeds,
+                       {"cpus": cpus, "n_roots": n_roots,
+                        "hosts_per_root": hpr, "bloat_words": bloat})
 
 
 def main() -> None:
@@ -122,41 +166,45 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Run the crawl bench in two fresh JVMs at local[8] and local[32] and
-    report throughput + scaling efficiency (north rule ≥0.8 N→4N evidence)."""
+    """Run the SAME scaling crawl in two fresh JVMs at local[8] and local[32]
+    over identical cached input; report throughput + scaling efficiency
+    (north rule ≥0.8 N→4N evidence — this sandbox's stand-in for N vs 4N
+    executors, per the driver instruction)."""
+    # generate the corpus once before forking JVMs
+    scaling_web_dir(int(os.environ.get("SPARK_GRAFT_SCALING_ROOTS", "1200")),
+                    int(os.environ.get("SPARK_GRAFT_SCALING_HPR", "24")),
+                    int(os.environ.get("SPARK_GRAFT_SCALING_BLOAT", "120")))
     results = {}
     for cpus in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-                   SPARK_GRAFT_BENCH_MODE="crawl_only")
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+            [sys.executable, os.path.abspath(__file__), "--scaling-one"],
             env=env, capture_output=True, text=True, check=True)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
-    t8 = results[8]["crawl"]["urls_per_sec"]
-    t32 = results[32]["crawl"]["urls_per_sec"]
+    t8 = results[8]["urls_per_sec"]
+    t32 = results[32]["urls_per_sec"]
     eff = round(t32 / t8 / 4.0, 3)
     report = {
-        "local8": results[8]["crawl"],
-        "local32": results[32]["crawl"],
+        "local8": results[8],
+        "local32": results[32],
         "scaling_efficiency_8_to_32": eff,
     }
     print(json.dumps(report, indent=2))
 
 
-def crawl_only() -> None:
+def scaling_one() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    crawl_scale = int(os.environ.get("SPARK_GRAFT_CRAWL_SCALE", "40"))
     spark = build_spark(cpus)
-    crawl = run_crawl(spark, crawl_scale)
+    out = run_scaling_crawl(spark, cpus)
     spark.stop()
-    print(json.dumps({"cpus": cpus, "crawl": crawl}))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
-    elif "--crawl-only" in sys.argv:
-        crawl_only()
+    elif "--scaling-one" in sys.argv:
+        scaling_one()
     else:
         main()

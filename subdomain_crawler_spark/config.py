@@ -28,7 +28,7 @@ class CrawlConfig:
     # below this many cumulative seen hosts the bank is pure overhead (two
     # extra jobs/round); the exact anti-join alone is faster. At 10^10 scale
     # the bank prunes the shuffle that dominates — always on there.
-    bloom_min_seen: int = 100_000
+    bloom_min_seen: int = 2_000_000
 
     # politeness / skew (north-rule additions, M4)
     salt_buckets: int = 8           # salts per root for hot-SLD skew

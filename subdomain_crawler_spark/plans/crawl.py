@@ -96,7 +96,14 @@ class CrawlEngine:
         self.spark = spark
         self.cfg = cfg
         self.io = ParquetSnapshotIO(spark, workdir)
-        self.corpus = corpus.select("host", "proto_ok", "status_code", "caption")
+        # column split: the metadata projection is what gets cached per round
+        # (bytes/row ~50); caption text streams through the extraction UDF
+        # exactly once and is never cached (at 100 TB the text column IS the
+        # table — caching it would be the memory/GC bottleneck)
+        self.corpus_meta = corpus.select(
+            "host", "proto_ok", "status_code",
+            F.length("caption").alias("content_length"))
+        self.corpus_text = corpus.select("host", "caption")
         self.dns = dns
         self.robots = robots
         self._bank: ShardedSeenFilter | None = None
@@ -179,8 +186,10 @@ class CrawlEngine:
         cfg = self.cfg
         spark = self.spark
 
-        # small rounds write single-task files; big rounds keep parallelism
-        small = tasks_processed < 200_000
+        # tiny rounds write single-task files (avoids 32 near-empty tasks per
+        # write); bigger rounds keep full write parallelism — a serialized
+        # write would cap scaling
+        small = tasks_processed < 20_000
         shrink = (lambda df: df.coalesce(1)) if small else (lambda df: df)
 
         # politeness (W2, north-rule addition): per-root budget via salted
@@ -192,7 +201,7 @@ class CrawlEngine:
         f = active_f
         if tasks_processed <= BROADCAST_FRONTIER_MAX:
             f = F.broadcast(f)
-        j = (f.join(self.corpus, "host", "left")
+        j = (f.join(self.corpus_meta, "host", "left")
               .withColumn("active", F.col("depth") <= F.lit(cfg.max_depth)))
 
         is2xx = (F.col("status_code") >= 200) & (F.col("status_code") < 300)
@@ -205,6 +214,7 @@ class CrawlEngine:
               .withColumn("fetched", F.col("fetched_https") | F.col("fetched_http"))
               .withColumn("proto", F.when(F.col("fetched_https"), "https")
                                     .when(F.col("fetched_http"), "http"))
+              .drop("proto_ok")
               .persist())
 
         # ---- http log (S3): one row per attempt, failures included ----------
@@ -235,7 +245,15 @@ class CrawlEngine:
         )
 
         # ---- extraction (X1+F2 fused with X3 title — ONE Arrow pass) ---------
-        pages = (j.filter("fetched")
+        # fetched hosts (small) broadcast-join back to the text column; the
+        # captions stream scan → Arrow → UDF and are dropped before the cache
+        fetched_hosts = F.broadcast(j.filter("fetched").select("host", "root"))
+        width = self.spark.sparkContext.defaultParallelism
+        pages = (fetched_hosts.join(self.corpus_text, "host")
+                  # the join runs at the text scan's split count (could be 1-2
+                  # splits); spread the fetched captions across all cores
+                  # before the CPU-heavy extraction UDF
+                  .repartition(width, "host")
                   .withColumn("pf", udfs.udf_page_features("caption", "root"))
                   .select("host", "root", F.col("pf.cands").alias("cands"),
                           F.col("pf.title").alias("title"))
@@ -260,19 +278,24 @@ class CrawlEngine:
         else:
             novel = cand_dist.join(seen, F.col("cand") == F.col("host"), "left_anti")
 
-        winner = (exploded.join(novel.select("cand"), "cand")
+        # winner = canonical min-parent claim per novel cand; pos rides along
+        # in the min-struct (one pos per (cand, parent) — per-page dedup), so
+        # the per-page novel lists derive from `winner` alone, no join back
+        # to `exploded`
+        bc = F.broadcast if tasks_processed <= BROADCAST_FRONTIER_MAX \
+            else (lambda df: df)
+        winner = (exploded.join(bc(novel.select("cand")), "cand")
                   .groupBy("cand")
-                  .agg(F.min(F.struct("parent", "parent_root")).alias("w"))
+                  .agg(F.min(F.struct("parent", "parent_root", "pos")).alias("w"))
                   .select("cand", F.col("w.parent").alias("winner"),
-                          F.col("w.parent_root").alias("winner_root"))
+                          F.col("w.parent_root").alias("winner_root"),
+                          F.col("w.pos").alias("pos"))
                   .withColumn("depth", udfs.udf_get_depth("cand"))
                   .persist())
 
         # per-page novel list in extraction order (result.subdomains semantics)
-        page_novel = (exploded
-                      .join(winner, "cand")
-                      .filter(F.col("parent") == F.col("winner"))
-                      .groupBy("parent")
+        page_novel = (winner
+                      .groupBy(F.col("winner").alias("parent"))
                       .agg(F.transform(
                           F.array_sort(F.collect_list(F.struct("pos", "cand"))),
                           lambda x: x.cand).alias("subdomains")))
@@ -280,7 +303,7 @@ class CrawlEngine:
         # ---- dns (J2) + results (S2) -----------------------------------------
         dns_j = (j.filter("active")
                   .select("host", "fetched", "proto", "status_code",
-                          F.length("caption").alias("content_length"))
+                          "content_length")
                   .join(self.dns, "host", "left")
                   .withColumn("ips", F.coalesce(F.col("ips"), F.array().cast("array<string>")))
                   .withColumn("rcode", F.coalesce(F.col("rcode"), F.lit(3)))
@@ -289,8 +312,9 @@ class CrawlEngine:
         dns_log = dns_j.select(F.lit(rnd).alias("round"), "host", "ips", "rcode")
 
         results = (dns_j.filter("fetched")
-                   .join(pages.select(F.col("host"), F.col("title")), "host", "left")
-                   .join(page_novel, F.col("host") == F.col("parent"), "left")
+                   .join(bc(pages.select(F.col("host"), F.col("title"))),
+                         "host", "left")
+                   .join(bc(page_novel), F.col("host") == F.col("parent"), "left")
                    .select(
                        F.lit(rnd).alias("round"),
                        F.col("host").alias("domain"),
@@ -322,9 +346,33 @@ class CrawlEngine:
             F.sum((F.col("depth") <= F.lit(cfg.max_depth)).cast("long"))
              .alias("enqueued"),
         )
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            f_agg = pool.submit(lambda: agg_df.collect()[0])
-            f_wc = pool.submit(lambda: wc_df.collect()[0])
+        # materialize the round's caches SEQUENTIALLY first — one collect per
+        # cache layer, innermost first. Concurrent (or async-broadcast-
+        # subquery) first-touch would race to compute the same uncached
+        # lineage — j's fetch-join and pages' extraction UDF would each run
+        # twice per round.
+        import os as _os
+        _timing = _os.environ.get("SPARK_GRAFT_TIMING") == "1"
+        _t = time.monotonic()
+
+        def _mark(label):
+            nonlocal _t
+            if _timing:
+                print(f"    [r{rnd}] {label}: {time.monotonic() - _t:.1f}s",
+                      flush=True)
+            _t = time.monotonic()
+
+        agg = agg_df.collect()[0]   # materializes j
+        _mark("agg/j")
+        pages.count()               # materializes the extraction UDF output
+        _mark("pages")
+        wc = wc_df.collect()[0]     # materializes winner (novel broadcast
+                                    # subquery now reads the pages cache)
+        _mark("winner")
+        dns_j.count()
+        _mark("dns_j")
+        # now every write is a cache scan + parquet write; run them together
+        with ThreadPoolExecutor(max_workers=5) as pool:
             writes = [
                 pool.submit(self.io.append, "results", shrink(results), rnd),
                 pool.submit(self.io.append, "http_log", shrink(http_log), rnd),
@@ -335,8 +383,7 @@ class CrawlEngine:
             ]
             for w in writes:
                 w.result()
-            agg = f_agg.result()
-            wc = f_wc.result()
+        _mark("writes")
         unique_subdomains = int(wc["novel"] or 0)
         tasks_enqueued = int(wc["enqueued"] or 0)
 

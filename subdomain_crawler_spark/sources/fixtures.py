@@ -151,7 +151,82 @@ def make_web(scale: int = 1, seed: int = 42) -> dict[str, pd.DataFrame]:
     }
 
 
-def write_parquet(tables: dict[str, pd.DataFrame], base: str) -> None:
+_WORDS = np.array([
+    "data", "spark", "crawl", "index", "mirror", "archive", "research",
+    "dataset", "paper", "lab", "compute", "cluster", "batch", "stream",
+    "kernel", "vector", "tensor", "shard", "replica", "cache", "queue",
+    "frontier", "robots", "budget", "fetch", "parse", "extract", "dedup",
+])
+
+
+def make_scaling_web(n_roots: int = 1200, hosts_per_root: int = 24,
+                     bloat_words: int = 120, seed: int = 7) -> dict[str, pd.DataFrame]:
+    """Large image-free web for the N-vs-4N scaling bench: every page fetches
+    over https with status 200, captions carry ``bloat_words`` of noise plus
+    same-root links, so per-round work (fetch-join, extraction UDF, dedup
+    shuffle) dominates the fixed round overhead. Deterministic (seeded);
+    fully numpy/pandas-vectorized so multi-million-host corpora generate in
+    seconds.
+    """
+    rng = np.random.RandomState(seed)
+    prefixes = ["www", "mail", "api", "dev", "cdn", "blog", "docs", "static",
+                "portal", "lab", "data", "news", "wiki", "ftp", "git", "dl",
+                "mirror1", "mirror2", "edge", "node1", "node2", "gw", "ns7",
+                "m7"][:hosts_per_root]
+    H = len(prefixes)
+    roots = pd.array([f"site{i}.com" for i in range(n_roots)], dtype="string")
+    seeds = pd.DataFrame({"seed": pd.Series(roots, dtype="object")})
+
+    # global index g = r*H + k → vectorized host/link construction
+    r_idx = np.repeat(np.arange(n_roots), H)
+    k_idx = np.tile(np.arange(H), n_roots)
+    pref = pd.Series(np.tile(np.array(prefixes, dtype=object), n_roots))
+    root_s = pd.Series(np.repeat(np.asarray(roots, dtype=object), H))
+    host = pref + "." + root_s
+    link = lambda kk: (pd.Series(np.array(prefixes, dtype=object)[kk]) + "." + root_s)
+    l1 = link((k_idx + 1) % H)
+    l2 = link((k_idx * 5 + 2) % H)
+    l3 = link((k_idx * 11 + 7) % H)
+    noise_pool = np.array(
+        [" ".join(_WORDS[rng.randint(0, len(_WORDS), bloat_words)])
+         for _ in range(97)] if bloat_words else [""], dtype=object)
+    noise = pd.Series(noise_pool[(k_idx * 31 + r_idx) % len(noise_pool)])
+    caption = ("<title>Page " + host + "</title> " + noise + " "
+               + l1 + " " + l2 + " " + l3)
+    n = len(host)
+    corpus = pd.DataFrame({
+        "image_id": host + "/0",
+        "bytes": np.full(n, b"", dtype=object),
+        "w": np.zeros(n, dtype=np.int32), "h": np.zeros(n, dtype=np.int32),
+        "fmt": np.full(n, "raw", dtype=object),
+        "caption": caption,
+        "phash": np.zeros(n, dtype=np.int64),
+        "host": host,
+        "proto_ok": np.full(n, None, dtype=object),
+        "status_code": np.full(n, 200, dtype=np.int32),
+    })
+    corpus["proto_ok"] = [["https", "http"]] * n
+    dns = pd.DataFrame({
+        "host": host,
+        "ips": [["10.0.0.1"]] * n,
+        "rcode": np.zeros(n, dtype=np.int32),
+    })
+    return {
+        "corpus": corpus,
+        "dns": dns,
+        "robots": pd.DataFrame([], columns=["root", "disallow_prefixes",
+                                            "crawl_delay", "max_per_round"]),
+        "seeds": seeds,
+    }
+
+
+def write_parquet(tables: dict[str, pd.DataFrame], base: str,
+                  n_files: dict[str, int] | None = None) -> None:
+    """Write each table as parquet. ``n_files`` splits a table into a
+    directory of N files — a single-file corpus would give Spark only 1-2
+    input splits, serializing the broadcast-hash fetch-join's stream side
+    (at real scale the corpus is naturally thousands of splits).
+    """
     import os
 
     import pyarrow as pa
@@ -159,6 +234,9 @@ def write_parquet(tables: dict[str, pd.DataFrame], base: str) -> None:
 
     os.makedirs(base, exist_ok=True)
     for name, df in tables.items():
+        if len(df) == 0:
+            continue
+        nf = (n_files or {}).get(name, 1)
         schema_overrides = {}
         if name == "corpus":
             schema_overrides = {"w": pa.int32(), "h": pa.int32(),
@@ -171,4 +249,14 @@ def write_parquet(tables: dict[str, pd.DataFrame], base: str) -> None:
         for col, typ in schema_overrides.items():
             idx = table.schema.get_field_index(col)
             table = table.set_column(idx, col, table.column(col).cast(typ))
-        pq.write_table(table, os.path.join(base, f"{name}.parquet"))
+        if nf <= 1:
+            pq.write_table(table, os.path.join(base, f"{name}.parquet"))
+        else:
+            d = os.path.join(base, f"{name}.parquet")
+            os.makedirs(d, exist_ok=True)
+            rows = len(table)
+            step = (rows + nf - 1) // nf
+            for i in range(nf):
+                chunk = table.slice(i * step, step)
+                if len(chunk):
+                    pq.write_table(chunk, os.path.join(d, f"part-{i:05d}.parquet"))
