@@ -93,13 +93,44 @@ def expand_seeds(seeds: list[str], cfg: CrawlConfig) -> list[tuple[str, str, int
 
 
 class ReferenceSimulator:
-    def __init__(self, corpus: pd.DataFrame, dns: pd.DataFrame, cfg: CrawlConfig):
+    def __init__(self, corpus: pd.DataFrame, dns: pd.DataFrame, cfg: CrawlConfig,
+                 robots: pd.DataFrame | None = None):
         self.cfg = cfg
         self.corpus = {
             r.host: (set(r.proto_ok), int(r.status_code), r.caption)
             for r in corpus.itertuples()
         }
         self.dns = {r.host: (list(r.ips), int(r.rcode)) for r in dns.itertuples()}
+        self.budgets: dict[str, int] | None = None
+        if cfg.honor_robots and (robots is not None or
+                                 cfg.default_per_root_budget is not None):
+            self.budgets = {}
+            if robots is not None:
+                for r in robots.itertuples():
+                    self.budgets[r.root] = int(r.max_per_round)
+
+    def _apply_budgets(
+        self, rows: list[tuple[str, str, int]]
+    ) -> tuple[list[tuple[str, str, int]], list[tuple[str, str, int]]]:
+        """W2 politeness: per root, schedule the top-budget rows by
+        (depth, host); defer the rest unchanged (operators/politeness.py
+        is the distributed twin — same canonical priority)."""
+        if self.budgets is None:
+            return rows, []
+        default = self.cfg.default_per_root_budget
+        by_root: dict[str, list[tuple[str, str, int]]] = {}
+        for row in rows:
+            by_root.setdefault(row[1], []).append(row)
+        scheduled, deferred = [], []
+        for root, group in by_root.items():
+            budget = self.budgets.get(root, default)
+            if budget is None:
+                scheduled.extend(group)
+                continue
+            group = sorted(group, key=lambda x: (x[2], x[0]))  # depth, host
+            scheduled.extend(group[:budget])
+            deferred.extend(group[budget:])
+        return scheduled, deferred
 
     def run(self, seeds: list[str], max_rounds: int = 64) -> SimResult:
         cfg = self.cfg
@@ -111,18 +142,25 @@ class ReferenceSimulator:
         frontiers = []
         rnd = 0
         while frontier and rnd < max_rounds:
+            # canonical within-round dedup: one row per host, min (root, depth)
+            # (matches CrawlEngine._dedup_frontier)
             dedup: dict[str, tuple[str, str, int]] = {}
-            for row in frontier:
-                dedup.setdefault(row[0], row)
-            rows = sorted(dedup.values())  # canonical order: lexicographic
-            frontiers.append(rows)
-            m = dict(round=rnd, tasks_processed=0, tasks_enqueued=0,
+            for host, root, depth in frontier:
+                cur = dedup.get(host)
+                if cur is None or (root, depth) < (cur[1], cur[2]):
+                    dedup[host] = (host, root, depth)
+            all_rows = sorted(dedup.values())  # canonical order: lexicographic
+            frontiers.append(all_rows)
+            rows, deferred_rows = self._apply_budgets(all_rows)
+            rows = sorted(rows)
+            # tasks_processed counts the full frontier (scheduled + deferred),
+            # matching CrawlEngine's RoundStats (one count, no politeness job)
+            m = dict(round=rnd, tasks_processed=len(all_rows), tasks_enqueued=0,
                      http_requests=0, dns_requests=0, success_count=0,
                      error_count=0, unique_subdomains=0)
             novel_this_round: dict[str, tuple[str, str, int]] = {}  # host → parent row
             next_frontier: list[tuple[str, str, int]] = []
             for host, root, depth in rows:
-                m["tasks_processed"] += 1
                 if depth > cfg.max_depth:
                     continue
                 fetched = False
@@ -180,7 +218,7 @@ class ReferenceSimulator:
                     next_frontier.append((c, root, child_depth))
                     m["tasks_enqueued"] += 1
             metrics.append(m)
-            frontier = next_frontier
+            frontier = next_frontier + deferred_rows
             rnd += 1
         return SimResult(
             results=pd.DataFrame(results),
