@@ -1,0 +1,94 @@
+"""Streaming seed ingest + M5 payload validation on Spark."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from subdomain_crawler_spark.functions import image
+from subdomain_crawler_spark.operators.validate import validate_payloads
+from subdomain_crawler_spark.streaming import ingest
+
+
+def test_streaming_seed_ingest(spark, tmp_path):
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    (seeds_dir / "a.txt").write_text(
+        "alpha.com\n\n# comment line\n  www.gamma.co.uk  \n")
+    inbox = str(tmp_path / "inbox")
+    q = ingest.start_seed_ingest(spark, str(seeds_dir), inbox,
+                                 str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = ingest.drain_inbox(spark, inbox)
+    rows = {(x.host, x.root, x.depth) for x in got.collect()}
+    # SLD expanded (134 candidates), subdomain passed through, comment dropped
+    assert ("alpha.com", "alpha.com", 0) in rows
+    assert ("www.alpha.com", "alpha.com", 0) in rows
+    assert ("www.gamma.co.uk", "gamma.co.uk", 0) in rows
+    assert len([r for r in rows if r[1] == "alpha.com"]) == 134
+    assert not any("#" in r[0] for r in rows)
+
+    # second file arrives → incremental micro-batch, no reprocessing of a.txt
+    (seeds_dir / "b.txt").write_text("beta.org\n")
+    q2 = ingest.start_seed_ingest(spark, str(seeds_dir), inbox,
+                                  str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    rows2 = {(x.host, x.root, x.depth) for x in
+             ingest.drain_inbox(spark, inbox).collect()}
+    assert ("www.beta.org", "beta.org", 0) in rows2
+    assert len(rows2) == len(rows) + 134
+
+
+def test_drain_empty_inbox(spark, tmp_path):
+    assert ingest.drain_inbox(spark, str(tmp_path / "nope")) is None
+
+
+def _payload_df(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_validate_payloads(spark):
+    rng = np.random.RandomState(5)
+    img_a = rng.randint(0, 256, (24, 31, 3), dtype=np.uint8)
+    img_b = rng.randint(0, 256, (24, 31, 3), dtype=np.uint8)
+    ref = [
+        dict(image_id="a", bytes=image.encode_image(img_a, "bmp"), fmt="bmp",
+             caption="cap-a"),
+        dict(image_id="b", bytes=image.encode_image(img_b, "raw"), fmt="raw",
+             caption="cap-b"),
+        dict(image_id="c", bytes=image.encode_image(img_a, "bmp"), fmt="bmp",
+             caption="cap-c"),
+    ]
+    got = [
+        # lossy re-encode of a: PSNR ≥ 40, caption matches → ok
+        dict(image_id="a", bytes=image.encode_image(img_a, "lossy"),
+             fmt="lossy", caption="cap-a"),
+        # wrong pixels for b → fail
+        dict(image_id="b", bytes=image.encode_image(img_a, "raw"), fmt="raw",
+             caption="cap-b"),
+        # exact pixels but caption drift → caption_ok False
+        dict(image_id="c", bytes=image.encode_image(img_a, "bmp"), fmt="bmp",
+             caption="CAP-C"),
+    ]
+    out = {r["image_id"]: r.asDict() for r in
+           validate_payloads(_payload_df(spark, got),
+                             _payload_df(spark, ref)).collect()}
+    assert out["a"]["pixels_ok"] and out["a"]["caption_ok"]
+    assert 40.0 <= out["a"]["psnr_db"] < 60.0
+    assert not out["b"]["pixels_ok"]
+    assert out["c"]["pixels_ok"] and out["c"]["psnr_db"] == 1e9
+    assert not out["c"]["caption_ok"] and not out["c"]["payload_ok"]
+
+
+def test_validate_fixture_corpus_self(spark, fixture_web):
+    """The fixture corpus validates against itself (exact for raw/bmp,
+    ≥40 dB for lossy rows)."""
+    base = fixture_web["base"]
+    corpus = spark.read.parquet(f"{base}/corpus.parquet") \
+        .select("image_id", "bytes", "fmt", "caption")
+    out = validate_payloads(corpus, corpus)
+    n = out.count()
+    ok = out.filter("payload_ok").count()
+    assert n == ok > 0
