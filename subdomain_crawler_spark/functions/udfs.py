@@ -120,6 +120,12 @@ def udf_simhash64(texts: pd.Series) -> pd.Series:
     return texts.fillna("").map(lambda t: text.simhash64_one(t.split()))
 
 
+@F.pandas_udf(ArrayType(StringType()))
+def udf_extract_hosts_html(htmls: pd.Series) -> pd.Series:
+    """X2 — HTML-aware extraction (domain_service.go:156-195)."""
+    return htmls.fillna("").map(core.extract_hosts_html_one)
+
+
 # --- image UDFs (north-rule payload path) -----------------------------------
 
 

@@ -567,6 +567,101 @@ ORDER BY cos_sim DESC, vec_id LIMIT 5
 """
 
 
+def q_a3_recent(spark, sf_dir):
+    """A3 — recent-discoveries ring: last 50 events by time
+    (presenter/dashboard.go:306-315; trivially relational here)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.orderBy(F.desc("ts"), F.desc("event_id"))
+             .limit(50)
+             .select("event_id", "event_type"))
+
+
+SQL_A3 = """
+SELECT event_id, event_type FROM events
+ORDER BY ts DESC, event_id DESC LIMIT 50
+"""
+
+
+def q_props_json(spark, sf_dir):
+    """Scalar-function surface: JSON field extraction + grouped aggregate
+    over the events.props JSON column."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (e.select("event_type", k.alias("k"))
+             .groupBy("event_type")
+             .agg(F.round(F.avg("k"), 2).alias("avg_k"),
+                  F.max("k").alias("max_k")))
+
+
+SQL_PROPS_JSON = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_emb_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via sign-LSH bucketing: candidate
+    pairs share an 8-bit sign bucket, then exact cosine ≥ 0.4 confirms.
+    The bucket join bounds the pair explosion (the at-scale pattern)."""
+    e = _t(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (F.when(F.col("embedding")[i] > 0, 1 << i).otherwise(0)) for i in range(8)
+    ).cast("long")
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = b.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "bucket")
+    c = b.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "bucket")
+    j = a.join(c, "bucket").filter(F.col("a") < F.col("b"))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("ea", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("eb", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    cos = F.round(dot / (na * nb), 4)
+    return (j.select("a", "b", cos.alias("cos_sim"))
+             .filter(F.col("cos_sim") >= 0.4))
+
+
+SQL_EMB_NEAR_DUP = """
+WITH b AS (
+  SELECT vec_id, embedding,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+     + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+     + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
+     + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
+     + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)::BIGINT AS bucket
+  FROM embeddings
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+  round(list_inner_product(x.embedding, y.embedding) /
+        (sqrt(list_inner_product(x.embedding, x.embedding))
+         * sqrt(list_inner_product(y.embedding, y.embedding))), 4) AS cos_sim
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE round(list_inner_product(x.embedding, y.embedding) /
+        (sqrt(list_inner_product(x.embedding, x.embedding))
+         * sqrt(list_inner_product(y.embedding, y.embedding))), 4) >= 0.4
+"""
+
+
+def q_x2_extract_html(spark, sf_dir):
+    """X2 — HTML-aware extraction (domain_service.go:156-195; dead code in
+    the reference's main path, parity-kept). href/src URL parsing via
+    urllib — not SQL-portable → rows-only check."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(F.lit('<a href="http://link-'), "source",
+                    F.lit('.example.com/x">'), F.substring("text", 1, 40),
+                    F.lit('</a> <img src="//img-'), "lang",
+                    F.lit('.example.org"> and text-'), "source",
+                    F.lit(".example.net plus /path/2f2f.example.com"))
+    d = d.withColumn("html", html)
+    return d.select("doc_id", udfs.udf_extract_hosts_html("html").alias("hosts"))
+
+
 # -- Spark-only ops (no SQL-expressible oracle → driver rows-only check) -----
 
 
@@ -632,6 +727,10 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
+    "a3_recent": q_a3_recent,
+    "props_json": q_props_json,
+    "emb_near_dup_pairs": q_emb_near_dup_pairs,
+    "x2_extract_html": q_x2_extract_html,
     "fingerprint64": q_fingerprint64,
     "minhash_signature": q_minhash_signature,
     "simhash64": q_simhash64,
@@ -662,6 +761,10 @@ def oracles() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "cosine_topk": SQL_COSINE_TOPK,
         "ann_lsh_bucket": SQL_ANN_LSH,
+        "a3_recent": SQL_A3,
+        "props_json": SQL_PROPS_JSON,
+        "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
+        # x2_extract_html: urlparse semantics not SQL-portable → rows-only
         # fingerprint64 / minhash_signature / simhash64 / minhash_lsh_pairs:
         # intentionally no oracle (non-SQL-portable seeds) → rows-only check
     }
