@@ -196,13 +196,30 @@ class CrawlEngine:
         # window; deferred rows carry over to the next round's frontier
         active_f, deferred = pol.apply_budgets(frontier, self.robots, cfg)
 
-        # J1 fetch-join — broadcast the frontier while small (the corpus is
-        # the 100 TB side; never broadcast it)
+        # J1 fetch-join. A naive frontier-LEFT-join-corpus cannot broadcast
+        # the frontier (Spark can't build the preserved side of an outer
+        # join — the hint is silently dropped and the 100 TB corpus side
+        # shuffles). Instead: broadcast-INNER join streaming the corpus
+        # (no corpus shuffle, parquet row groups skipped via the build-side
+        # filter), then a broadcast anti-join reconstructs the
+        # missing-from-corpus frontier rows with null fetch columns.
         f = active_f
-        if tasks_processed <= BROADCAST_FRONTIER_MAX:
-            f = F.broadcast(f)
-        j = (f.join(self.corpus_meta, "host", "left")
-              .withColumn("active", F.col("depth") <= F.lit(cfg.max_depth)))
+        small_round = tasks_processed <= BROADCAST_FRONTIER_MAX
+        if small_round:
+            hit = self.corpus_meta.join(F.broadcast(f), "host", "inner")
+            miss = f.join(
+                F.broadcast(hit.select("host").distinct()), "host", "left_anti")
+        else:  # giant round: shuffle join on host is the right plan
+            hit = self.corpus_meta.join(f, "host", "inner")
+            miss = f.join(hit.select("host").distinct(), "host", "left_anti")
+        miss = (miss.withColumn("proto_ok", F.lit(None).cast("array<string>"))
+                    .withColumn("status_code", F.lit(None).cast("int"))
+                    .withColumn("content_length", F.lit(None).cast("int")))
+        j = (hit.select("host", "root", "depth", "proto_ok", "status_code",
+                        "content_length")
+                .unionByName(miss.select("host", "root", "depth", "proto_ok",
+                                         "status_code", "content_length"))
+                .withColumn("active", F.col("depth") <= F.lit(cfg.max_depth)))
 
         is2xx = (F.col("status_code") >= 200) & (F.col("status_code") < 300)
         has = lambda p: F.coalesce(F.array_contains("proto_ok", p), F.lit(False))
@@ -300,14 +317,27 @@ class CrawlEngine:
                           F.array_sort(F.collect_list(F.struct("pos", "cand"))),
                           lambda x: x.cand).alias("subdomains")))
 
-        # ---- dns (J2) + results (S2) -----------------------------------------
-        dns_j = (j.filter("active")
-                  .select("host", "fetched", "proto", "status_code",
-                          "content_length")
-                  .join(self.dns, "host", "left")
-                  .withColumn("ips", F.coalesce(F.col("ips"), F.array().cast("array<string>")))
-                  .withColumn("rcode", F.coalesce(F.col("rcode"), F.lit(3)))
-                  .persist())
+        # ---- dns (J2) + results (S2) — same broadcast-inner + anti shape as
+        # the fetch-join (the dns table is corpus-sized; missing hosts default
+        # to NXDOMAIN, resolver.go failover exhausted) ----------------------
+        active_j = j.filter("active").select(
+            "host", "fetched", "proto", "status_code", "content_length")
+        if small_round:
+            dns_hit = self.dns.join(F.broadcast(active_j), "host", "inner")
+            dns_miss = active_j.join(
+                F.broadcast(dns_hit.select("host").distinct()),
+                "host", "left_anti")
+        else:
+            dns_hit = self.dns.join(active_j, "host", "inner")
+            dns_miss = active_j.join(dns_hit.select("host").distinct(),
+                                     "host", "left_anti")
+        dns_miss = (dns_miss
+                    .withColumn("ips", F.array().cast("array<string>"))
+                    .withColumn("rcode", F.lit(3).cast("int")))
+        cols = ["host", "fetched", "proto", "status_code", "content_length",
+                "ips", "rcode"]
+        dns_j = (dns_hit.select(*cols).unionByName(dns_miss.select(*cols))
+                 .persist())
 
         dns_log = dns_j.select(F.lit(rnd).alias("round"), "host", "ips", "rcode")
 
