@@ -168,29 +168,38 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Run the SAME scaling crawl in two fresh JVMs at local[8] and local[32]
-    over identical cached input; report throughput + scaling efficiency
-    (north rule ≥0.8 N→4N evidence — this sandbox's stand-in for N vs 4N
-    executors, per the driver instruction)."""
-    # generate the corpus once before forking JVMs
-    scaling_web_dir(int(os.environ.get("SPARK_GRAFT_SCALING_ROOTS", "1200")),
-                    int(os.environ.get("SPARK_GRAFT_SCALING_HPR", "24")),
-                    int(os.environ.get("SPARK_GRAFT_SCALING_BLOAT", "120")))
+    """Run the SAME scaling crawl at three parallelism levels (local[2],
+    local[8], local[32] — two N→4N pairs) over identical cached input, two
+    trials each (min taken: the shared host shows ±25% wall noise); report
+    throughput + scaling efficiency (north-rule evidence — this sandbox's
+    stand-in for N vs 4N executors, per the driver instruction)."""
+    n_roots = int(os.environ.get("SPARK_GRAFT_SCALING_ROOTS", "12000"))
+    hpr = int(os.environ.get("SPARK_GRAFT_SCALING_HPR", "24"))
+    bloat = int(os.environ.get("SPARK_GRAFT_SCALING_BLOAT", "500"))
+    trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+    base = scaling_web_dir(n_roots, hpr, bloat)
+    seeds = [f"site{i}.com" for i in range(n_roots)]
+    os.environ.setdefault("SPARK_GRAFT_MAX_ROUNDS", "3")
     results = {}
-    for cpus in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-one"],
-            env=env, capture_output=True, text=True, check=True)
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-    t8 = results[8]["urls_per_sec"]
-    t32 = results[32]["urls_per_sec"]
-    eff = round(t32 / t8 / 4.0, 3)
+    for cpus in (2, 8, 32):
+        spark = build_spark(cpus)
+        walls, out = [], None
+        for _ in range(trials):
+            out = _crawl_over(spark, base, seeds, {"cpus": cpus})
+            walls.append(out["wall_sec"])
+        spark.stop()
+        best = min(walls)
+        results[cpus] = {"walls": walls, "wall_best": best,
+                         "frontier_urls": out["frontier_urls"],
+                         "urls_per_sec_best": round(out["frontier_urls"] / best, 1)}
+    r = results
     report = {
-        "local8": results[8],
-        "local32": results[32],
-        "scaling_efficiency_8_to_32": eff,
+        "corpus": f"{n_roots} roots x {hpr} hosts, {bloat}-word captions",
+        "local2": r[2], "local8": r[8], "local32": r[32],
+        "eff_2_to_8": round(r[8]["urls_per_sec_best"]
+                            / r[2]["urls_per_sec_best"] / 4, 3),
+        "eff_8_to_32": round(r[32]["urls_per_sec_best"]
+                             / r[8]["urls_per_sec_best"] / 4, 3),
     }
     print(json.dumps(report, indent=2))
 

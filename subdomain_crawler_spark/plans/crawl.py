@@ -207,11 +207,12 @@ class CrawlEngine:
         small_round = tasks_processed <= BROADCAST_FRONTIER_MAX
         if small_round:
             hit = self.corpus_meta.join(F.broadcast(f), "host", "inner")
-            miss = f.join(
-                F.broadcast(hit.select("host").distinct()), "host", "left_anti")
         else:  # giant round: shuffle join on host is the right plan
             hit = self.corpus_meta.join(f, "host", "inner")
-            miss = f.join(hit.select("host").distinct(), "host", "left_anti")
+        # missing hosts via anti-join against the corpus host COLUMN only —
+        # parquet column pruning makes this a narrow scan, and it avoids
+        # recomputing `hit` (which would re-scan the full metadata columns)
+        miss = f.join(self.corpus_meta.select("host"), "host", "left_anti")
         miss = (miss.withColumn("proto_ok", F.lit(None).cast("array<string>"))
                     .withColumn("status_code", F.lit(None).cast("int"))
                     .withColumn("content_length", F.lit(None).cast("int")))
@@ -324,13 +325,9 @@ class CrawlEngine:
             "host", "fetched", "proto", "status_code", "content_length")
         if small_round:
             dns_hit = self.dns.join(F.broadcast(active_j), "host", "inner")
-            dns_miss = active_j.join(
-                F.broadcast(dns_hit.select("host").distinct()),
-                "host", "left_anti")
         else:
             dns_hit = self.dns.join(active_j, "host", "inner")
-            dns_miss = active_j.join(dns_hit.select("host").distinct(),
-                                     "host", "left_anti")
+        dns_miss = active_j.join(self.dns.select("host"), "host", "left_anti")
         dns_miss = (dns_miss
                     .withColumn("ips", F.array().cast("array<string>"))
                     .withColumn("rcode", F.lit(3).cast("int")))
