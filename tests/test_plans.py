@@ -1,0 +1,85 @@
+"""Physical-plan shape assertions — the scale contract, checked in CI.
+
+These pin the properties that make the 100 TB story true: filters reach the
+parquet scan, small sides broadcast, the extraction UDF is Arrow-evaluated,
+and nothing silently degenerates into a cartesian or a dropped hint.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from subdomain_crawler_spark.plans import driver_queries as dq
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity"))
+    p = plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]" in p
+    # column pruning: only the two projected columns are read
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p
+
+
+def test_tpch_q3_broadcasts_dimension(spark):
+    p = plan(dq.q_tpch_q3(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_semi_join_is_broadcast(spark):
+    p = plan(dq.q_j3_semi_join(spark, SF))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_extraction_is_arrow_eval(spark):
+    p = plan(dq.q_fingerprint64(spark, SF))
+    assert "ArrowEvalPython" in p  # vectorized pandas UDF, not BatchEvalPython
+    assert "BatchEvalPython" not in p
+
+
+def test_anti_join_shape(spark):
+    p = plan(dq.q_d1_anti_join(spark, SF))
+    assert "LeftAnti" in p
+
+
+def test_q1_map_side_partial_aggregate(spark):
+    """Two HashAggregates around one exchange = map-side combine before the
+    single shuffle (WholeStageCodegen spans only show post-AQE-finalization,
+    so the structural partial-agg shape is what CI pins)."""
+    p = plan(dq.q_tpch_q1(spark, SF))
+    assert p.count("HashAggregate") >= 2
+    assert p.count("Exchange") <= 2  # one shuffle (+AQE reuse marker at most)
+
+
+def test_crawl_fetch_join_broadcasts_frontier(spark, fixture_web, tmp_path):
+    """The fetch-join must broadcast the frontier side and stream the corpus
+    (a dropped hint here silently shuffles the 100 TB side — regression
+    guard for the build-left-on-outer-join bug)."""
+    from subdomain_crawler_spark.config import CrawlConfig
+    from subdomain_crawler_spark.plans.crawl import CrawlEngine
+
+    base = fixture_web["base"]
+    eng = CrawlEngine(spark, CrawlConfig(honor_robots=False),
+                      str(tmp_path / "c"),
+                      spark.read.parquet(f"{base}/corpus.parquet"),
+                      spark.read.parquet(f"{base}/dns.parquet"))
+    eng.start(fixture_web["seeds"])
+    f = eng.io.read_round("frontier", 0)
+    hit = eng.corpus_meta.join(F.broadcast(f), "host", "inner")
+    p = plan(hit)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
