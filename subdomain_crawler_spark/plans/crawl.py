@@ -425,8 +425,7 @@ class CrawlEngine:
             unique_subdomains=unique_subdomains,
             wall_sec=time.monotonic() - t0,
         )
-        self.io.append("metrics", self.spark.createDataFrame(
-            pd.DataFrame([st.__dict__])), rnd)
+        self.io.append_local("metrics", pd.DataFrame([st.__dict__]), rnd)
         self.io.commit_round(rnd)
 
         # fold this round's novelties into the bloom bank — distributed build,

@@ -84,3 +84,15 @@ class ParquetSnapshotIO:
 
     def exists(self, table: str, round_no: int) -> bool:
         return os.path.isdir(self.round_dir(table, round_no))
+
+    def append_local(self, table: str, pdf, round_no: int) -> None:
+        """Driver-side append for tiny tables (e.g. the one-row metrics
+        record): plain pyarrow write, no Spark job. The layout is identical
+        to ``append`` so ``read_round``/``read_upto`` see one table."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = self.round_dir(table, round_no)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       os.path.join(d, "part-00000.parquet"))
