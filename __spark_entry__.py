@@ -51,7 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracles; queries absent here (fingerprint64,
-    minhash_signature, simhash64, minhash_lsh_pairs) use non-SQL-portable
-    seeded hashing and get the driver's rows-only check."""
+    """DuckDB-runnable oracles — every query except ``x2_extract_html``
+    (urllib.parse semantics, no DuckDB equivalent; pinned by unit tests
+    porting the reference's own cases instead)."""
     return dq.oracles()

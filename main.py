@@ -1,0 +1,172 @@
+"""Runnable CLI entrypoint — the PySpark twin of the reference executable.
+
+Reference: /root/reference/cmd/subdomain-crawler/main.go:15-89 with flags at
+pkg/interface/cli/config.go:12-54 (input `-i` file-or-stdin, output JSONL
+paths, --max-depth, --workers, --expand-sld, --bloom-size/--bloom-fp). Flags
+that only parameterize live-network machinery (timeouts, user-agent,
+queue-size, dashboard) have no offline analog and are intentionally absent —
+the corpus/dns tables ARE the network here (SURVEY.md §2.1 S6/S7).
+
+Usage (spark-submit or plain python — SparkSession picks up the master from
+spark-submit when present, else local[--workers]):
+
+    spark-submit --py-files crawler.zip main.py \
+        --seeds seeds.txt --corpus web/corpus.parquet --dns web/dns.parquet \
+        --workdir /tmp/crawl --output result.jsonl
+
+    cat seeds.txt | python main.py --seeds - --corpus ... --workdir ...
+
+Outputs: the workdir's snapshot tables (results/http_log/dns_log/seen/
+frontier/metrics, resumable via --resume) plus reference-schema JSONL
+exports for results / http log / dns log.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        prog="subdomain-crawler-spark",
+        description="PySpark-native subdomain-discovery crawl over a corpus table")
+    p.add_argument("-i", "--seeds", default="-",
+                   help="seed root domains, one per line ('-' = stdin; "
+                        "blank/# lines skipped) [ref: --input]")
+    p.add_argument("--corpus", required=True,
+                   help="parquet path: the web stand-in "
+                        "(host, proto_ok, status_code, caption[, image cols])")
+    p.add_argument("--dns", dest="dns_table", required=True,
+                   help="parquet path: dns table (host, ips, rcode)")
+    p.add_argument("--robots", default=None,
+                   help="optional parquet path: robots table "
+                        "(root, disallow_prefixes, crawl_delay, max_per_round)")
+    p.add_argument("--workdir", required=True,
+                   help="snapshot-table directory (checkpoint/resume root)")
+    p.add_argument("-o", "--output", default=None,
+                   help="JSONL results export path [ref default: result.jsonl]")
+    p.add_argument("--http-log", default=None,
+                   help="JSONL HTTP-log export path [ref default: http.jsonl]")
+    p.add_argument("--dns-log", default=None,
+                   help="JSONL DNS-log export path [ref default: dns.jsonl]")
+    p.add_argument("--max-depth", type=int, default=3,
+                   help="maximum subdomain depth [ref default 3]")
+    p.add_argument("--workers", type=int, default=32,
+                   help="parallelism when not under spark-submit "
+                        "[ref: worker-pool size, default 32]")
+    p.add_argument("--max-rounds", type=int, default=64,
+                   help="BFS round cap (the reference runs to queue-empty)")
+    sld = p.add_mutually_exclusive_group()
+    sld.add_argument("--expand-sld", dest="expand_sld", action="store_true",
+                     default=True, help="expand SLD seeds with the common-"
+                     "prefix list [ref default true]")
+    sld.add_argument("--no-expand-sld", dest="expand_sld", action="store_false")
+    p.add_argument("--subdomains", default=None,
+                   help="comma-separated custom prefixes merged into the "
+                        "expansion list (expander.go custom prefixes)")
+    p.add_argument("--bloom-size", type=int, default=1_000_000,
+                   help="seen-filter capacity [ref default 1e6]")
+    p.add_argument("--bloom-fp", type=float, default=0.01,
+                   help="seen-filter false-positive rate [ref default 0.01]")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the workdir's last committed round "
+                        "(seeds ignored if a committed round exists)")
+    p.add_argument("--export-epoch", type=float, default=None,
+                   help="fixed epoch for deterministic JSONL timestamps "
+                        "(tests); default: wall clock")
+    return p.parse_args(argv)
+
+
+def read_seeds(path: str) -> list[str]:
+    if path == "-":
+        return [line.rstrip("\n") for line in sys.stdin]
+    with open(path) as f:
+        return [line.rstrip("\n") for line in f]
+
+
+def build_spark(workers: int):
+    """Returns (spark, owns_session). Reuses an already-active session (e.g.
+    under pytest) without stopping it on exit."""
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active, False
+    b = (SparkSession.builder.appName("subdomain-crawler-spark")
+         .config("spark.sql.shuffle.partitions", str(workers))
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.adaptive.enabled", "true"))
+    if "SPARK_SUBMIT_MODE" not in os.environ and not os.environ.get("MASTER"):
+        # plain `python main.py` — local master sized by --workers
+        b = b.master(f"local[{workers}]")
+    return b.getOrCreate(), True
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    from subdomain_crawler_spark.config import CrawlConfig
+    from subdomain_crawler_spark.plans.crawl import CrawlEngine
+    from subdomain_crawler_spark.sources import jsonl
+
+    spark, owns_session = build_spark(args.workers)
+    corpus = spark.read.parquet(args.corpus)
+    dns = spark.read.parquet(args.dns_table)
+    robots = spark.read.parquet(args.robots) if args.robots else None
+    custom = tuple(s for s in (args.subdomains or "").split(",") if s)
+    cfg = CrawlConfig(
+        max_depth=args.max_depth,
+        expand_sld=args.expand_sld,
+        custom_prefixes=custom,
+        bloom_capacity=args.bloom_size,
+        bloom_fp=args.bloom_fp,
+    )
+    engine = CrawlEngine(spark, cfg, args.workdir, corpus, dns, robots=robots)
+
+    seeds: list[str] | None = None
+    if not (args.resume and engine.resume_round() > 0):
+        seeds = read_seeds(args.seeds)
+
+    stats = engine.run(
+        seeds=seeds, max_rounds=args.max_rounds,
+        progress=lambda st: print(
+            f"round {st.round}: processed={st.tasks_processed} "
+            f"novel={st.unique_subdomains} enqueued={st.tasks_enqueued} "
+            f"({st.wall_sec:.1f}s)", file=sys.stderr))
+
+    last = engine.io.committed_round()
+    if last >= 0:
+        if args.output:
+            results = engine.io.read_upto("results", last)
+            if results is not None:
+                jsonl.export_results_jsonl(results, args.output,
+                                           epoch=args.export_epoch)
+        if args.http_log:
+            hl = engine.io.read_upto("http_log", last)
+            if hl is not None:
+                jsonl.export_log_jsonl(hl, args.http_log)
+        if args.dns_log:
+            dl = engine.io.read_upto("dns_log", last)
+            if dl is not None:
+                jsonl.export_log_jsonl(dl, args.dns_log)
+
+    print(json.dumps({
+        "rounds": len(stats),
+        "tasks_processed": sum(s.tasks_processed for s in stats),
+        "unique_subdomains": sum(s.unique_subdomains for s in stats),
+        "http_requests": sum(s.http_requests for s in stats),
+        "dns_requests": sum(s.dns_requests for s in stats),
+        "committed_round": last,
+    }))
+    if owns_session:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

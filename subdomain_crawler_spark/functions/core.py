@@ -167,7 +167,12 @@ def get_depth(domains: pd.Series) -> pd.Series:
 
 
 def get_distance_one(domain: str, root: str) -> int:
-    """domain_service.go:109-123 — -1 if unrelated (plain HasSuffix, no dot)."""
+    """domain_service.go:109-123 — -1 if unrelated (plain HasSuffix, no dot).
+
+    Unlike GetDepth (domain_service.go:95-97), GetDistance has NO
+    ``prefix == domain → 0`` guard: a plain-suffix match like
+    ('notexample.com', 'example.com') counts all prefix dots + 1 = 2.
+    """
     domain = canonicalize_one(domain)
     root = canonicalize_one(root)
     if not domain.endswith(root):
@@ -175,8 +180,6 @@ def get_distance_one(domain: str, root: str) -> int:
     if domain == root:
         return 0
     prefix = domain[: -(len(root) + 1)] if domain.endswith("." + root) else domain
-    if prefix == domain:
-        return 0
     return prefix.count(".") + 1
 
 

@@ -80,27 +80,58 @@ def fingerprint64_one(text: str) -> int:
     return h
 
 
-def fingerprint64(texts: pd.Series) -> pd.Series:
-    """Rabin-Karp rolling hash, vectorized with numpy per string.
+def padded_bytes(strs: list[bytes] | np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pack a batch of byte-strings into a zero-padded (n, maxlen) uint8
+    matrix + a length vector — the layout every batch hash kernel iterates
+    over BY POSITION (maxlen vectorized passes over the whole batch instead
+    of per-string Python loops)."""
+    lens = np.fromiter((len(b) for b in strs), dtype=np.int64, count=len(strs))
+    maxlen = int(lens.max()) if len(lens) else 0
+    mat = np.zeros((len(strs), maxlen), dtype=np.uint8)
+    if maxlen:
+        flat = np.frombuffer(b"".join(strs), dtype=np.uint8)
+        # row-major boolean fill consumes `flat` in concatenation order
+        mat[np.arange(maxlen)[None, :] < lens[:, None]] = flat
+    return mat, lens
 
-    h = Σ byte_i · B^(n-1-i) mod 2^61-1, B = 1000003. Computed with exact
-    object-int accumulation chunk-wise to stay vectorized without overflow.
+
+def _fp61_horner_step(h: np.ndarray, byte_col: np.ndarray) -> np.ndarray:
+    """One vectorized Horner step h' = (h*B + b) mod 2^61-1 in uint64.
+
+    h < 2^61 and B = 1000003 < 2^20 would overflow uint64, so split
+    h = h1·2^41 + h0 (h1 < 2^20): h·B = (h1·B)·2^41 + h0·B where every
+    partial stays < 2^61 after one Mersenne fold (2^61 ≡ 1 mod M).
     """
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts.fillna("").to_numpy()):
-        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        h = 0
-        # Horner in chunks: fold 8 bytes at a time with precomputed powers
-        powers = [pow(_FP_BASE, k, _FP_MOD) for k in range(8)]
-        b8 = pow(_FP_BASE, 8, _FP_MOD)
-        n8 = (len(data) // 8) * 8
-        chunks = data[:n8].reshape(-1, 8).astype(object)
-        for row in chunks:
-            h = (h * b8 + sum(int(row[j]) * powers[7 - j] for j in range(8))) % _FP_MOD
-        for b in data[n8:]:
-            h = (h * _FP_BASE + int(b)) % _FP_MOD
-        out[i] = h
-    return pd.Series(out, index=texts.index)
+    M = np.uint64(_FP_MOD)
+    B = np.uint64(_FP_BASE)
+    c = (h >> np.uint64(41)) * B                       # < 2^40
+    s = ((c >> np.uint64(20))                          # (h1·B)·2^41 mod M …
+         + ((c & np.uint64((1 << 20) - 1)) << np.uint64(41))
+         + (h & np.uint64((1 << 41) - 1)) * B          # h0·B < 2^61
+         + byte_col)                                   # < 3·2^61 + 255 < 2^63
+    s = (s >> np.uint64(61)) + (s & M)                 # Mersenne fold
+    return np.where(s >= M, s - M, s)
+
+
+def fp61_batch(strs: list[bytes]) -> np.ndarray:
+    """Polynomial hash h = Σ byte_i · B^(n-1-i) mod 2^61-1 for a batch of
+    byte-strings — identical values to ``fingerprint64_one``, computed in
+    O(maxlen) vectorized passes (no per-byte Python)."""
+    mat, lens = padded_bytes(strs)
+    h = np.zeros(len(strs), dtype=np.uint64)
+    for j in range(mat.shape[1]):
+        active = lens > j
+        h[active] = _fp61_horner_step(h[active], mat[active, j].astype(np.uint64))
+    return h
+
+
+def fingerprint64(texts: pd.Series) -> pd.Series:
+    """Rabin-Karp document fingerprint mod 2^61-1 (Mersenne), batch-vectorized.
+
+    SQL-portable: the DuckDB oracle computes the same fold with HUGEINT
+    list_reduce (driver_queries._sql_fp61)."""
+    enc = [t.encode("utf-8") for t in texts.fillna("").to_numpy()]
+    return pd.Series(fp61_batch(enc).astype(np.int64), index=texts.index)
 
 
 # ---------------------------------------------------------------------------
@@ -122,23 +153,15 @@ def word_ngrams_one(text: str, n: int = 3) -> list[str]:
     return [" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)]
 
 
-def _hash64_numpy(vals: list[str]) -> np.ndarray:
-    """Deterministic 64-bit FNV-1a per string (numpy uint64, no Python hash —
-    PYTHONHASHSEED-independent)."""
-    out = np.empty(len(vals), dtype=np.uint64)
-    mask = (1 << 64) - 1
-    for i, v in enumerate(vals):
-        h = 0xCBF29CE484222325
-        for b in v.encode("utf-8"):
-            h = ((h ^ b) * 0x100000001B3) & mask  # uint64 wraparound
-        out[i] = h
-    return out
-
-
-# MinHash: h_i(x) = (a_i * x + b_i) mod p over crc32 shingle hashes.
-# p = 2^31-1 (Mersenne) keeps a_i * x < 2^62 → exact in uint64, fully
-# numpy-vectorized: the (num_hashes × n_shingles) grid is one broadcast op.
+# MinHash: h_i(x) = (a_i * x + b_i) mod p over shingle hashes x.
+# p = 2^31-1 (Mersenne) keeps a_i * x < 2^62 → exact in uint64 AND in plain
+# BIGINT SQL, so the DuckDB oracle can reproduce the signature bit-for-bit.
+# Shingle hash: polynomial fold h = (h·257 + byte) mod p over the shingle's
+# UTF-8 bytes (SQL-portable, vectorizable over sliding windows — crc32 would
+# be neither).
 _MINHASH_P = (1 << 31) - 1
+_SH_BASE = 257
+_SHINGLE_K = 5
 
 
 def _minhash_coeffs(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -148,45 +171,107 @@ def _minhash_coeffs(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.nda
     return a, b
 
 
-def _crc32_hashes(vals: list[str]) -> np.ndarray:
-    import zlib
-
-    return np.fromiter((zlib.crc32(v.encode("utf-8")) for v in vals),
-                       dtype=np.uint64, count=len(vals))
+def shingle_hash31_one(s: str) -> int:
+    """Scalar twin of the vectorized window hash (tests + SQL-oracle parity)."""
+    h = 0
+    for byte in s.encode("utf-8"):
+        h = (h * _SH_BASE + byte) % _MINHASH_P
+    return h
 
 
 def minhash_signature_one(shingles: list[str], num_hashes: int = 64, seed: int = 42) -> list[int]:
     if not shingles:
         return [int(_MINHASH_P)] * num_hashes
     a, b = _minhash_coeffs(num_hashes, seed)
-    x = _crc32_hashes(shingles) % np.uint64(_MINHASH_P)
+    x = np.array([shingle_hash31_one(s) for s in shingles], dtype=np.uint64)
     grid = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MINHASH_P)
     return [int(v) for v in grid.min(axis=1)]
 
 
-def _splitmix64(h: np.ndarray) -> np.ndarray:
-    mask = np.uint64(0xFFFFFFFFFFFFFFFF)
-    h = (h + np.uint64(0x9E3779B97F4A7C15)) & mask
-    h = ((h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & mask
-    h = ((h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & mask
-    return h ^ (h >> np.uint64(31))
+def minhash_signatures(texts: pd.Series, num_hashes: int = 64,
+                       seed: int = 42) -> pd.Series:
+    """Batch MinHash over 5-byte shingles of the whitespace-collapsed text.
+
+    Fully vectorized: the batch's documents are concatenated into one flat
+    byte buffer, every 5-byte sliding window is hashed in K passes
+    (windows that cross document boundaries are masked out), and each of the
+    64 affine permutations reduces per-document with minimum.reduceat —
+    no per-shingle Python. Matches ``minhash_signature_one`` exactly.
+    """
+    k = _SHINGLE_K
+    P = np.uint64(_MINHASH_P)
+    a, b = _minhash_coeffs(num_hashes, seed)
+    enc = [" ".join(t.split()).encode("utf-8")
+           for t in texts.fillna("").to_numpy()]
+    n = len(enc)
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
+    out = np.full((n, num_hashes), int(_MINHASH_P), dtype=np.int64)
+
+    # short docs (0 < len < k): one shingle = the whole string
+    short = np.flatnonzero((lens > 0) & (lens < k))
+    for i in short:
+        x = np.uint64(shingle_hash31_one(enc[i].decode("utf-8")))
+        out[i] = ((a * x + b) % P).astype(np.int64)
+
+    big = np.flatnonzero(lens >= k)
+    if len(big):
+        flat = np.frombuffer(b"".join(enc[i] for i in big),
+                             dtype=np.uint8).astype(np.uint64)
+        # window hash as k shifted CONTIGUOUS slices (a 2-D window view's
+        # strided astype is ~10× slower than these 1-D passes):
+        # Σ byte_j · 257^(k-1-j), max 5 · 255 · 2^31 < 2^42 — exact in uint64
+        nw = len(flat) - (k - 1)
+        wh = np.zeros(nw, dtype=np.uint64)
+        for j in range(k):
+            wh += np.uint64(pow(_SH_BASE, k - 1 - j, _MINHASH_P)) * flat[j:j + nw]
+        wh %= P
+        # valid (non-boundary-crossing) window indices per doc
+        blens = lens[big]
+        counts = blens - (k - 1)
+        starts = np.concatenate(([0], np.cumsum(blens)[:-1]))
+        seg0 = np.cumsum(counts) - counts
+        rel = np.arange(counts.sum()) - np.repeat(seg0, counts)
+        x = wh[np.repeat(starts, counts) + rel]
+        for i in range(num_hashes):
+            y = (a[i] * x + b[i]) % P
+            out[big, i] = np.minimum.reduceat(y, seg0).astype(np.int64)
+    return pd.Series(list(out), index=texts.index)
 
 
 def simhash64_one(toks: list[str]) -> int:
-    """Classic 64-bit SimHash over token hashes (unweighted); token hash =
-    splitmix64(crc32) — C-speed and deterministic."""
+    """SimHash over 61-bit polynomial token hashes (fingerprint64 of each
+    token — SQL-portable so the DuckDB oracle reproduces it). Top 3 bits of
+    the packed value are always zero; 'simhash64' names the container width."""
     if not toks:
         return 0
-    with np.errstate(over="ignore"):
-        hs = _splitmix64(_crc32_hashes(toks))
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    hs = fp61_batch([t.encode("utf-8") for t in toks])
+    bits = ((hs[:, None] >> np.arange(61, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
     counts = bits.sum(axis=0)
     vec = (counts * 2 - len(toks)) > 0
-    val = np.uint64(0)
-    for i in range(64):
-        if vec[i]:
-            val |= np.uint64(1) << np.uint64(i)
-    return int(val.astype(np.int64))
+    return int((vec.astype(np.uint64) << np.arange(61, dtype=np.uint64)).sum())
+
+
+def simhash64_batch(texts: pd.Series) -> pd.Series:
+    """Batch SimHash: one flat token array across the batch, one fp61 pass,
+    per-document bit-majorities via add.reduceat."""
+    tok_lists = [t.split() for t in texts.fillna("").to_numpy()]
+    counts = np.fromiter((len(ts) for ts in tok_lists), dtype=np.int64,
+                         count=len(tok_lists))
+    out = np.zeros(len(tok_lists), dtype=np.int64)
+    nz = np.flatnonzero(counts)
+    if len(nz):
+        flat_toks = [t.encode("utf-8") for i in nz for t in tok_lists[i]]
+        hs = fp61_batch(flat_toks)
+        seg0 = np.cumsum(counts[nz]) - counts[nz]
+        # per-bit contiguous passes beat one (tokens × 61) broadcast matrix
+        csum = np.empty((len(nz), 61), dtype=np.int64)
+        for i in range(61):
+            bit = ((hs >> np.uint64(i)) & np.uint64(1)).astype(np.int64)
+            csum[:, i] = np.add.reduceat(bit, seg0)
+        vec = (csum * 2 - counts[nz][:, None]) > 0
+        out[nz] = (vec.astype(np.uint64) << np.arange(61, dtype=np.uint64)[None, :]) \
+            .sum(axis=1).astype(np.int64)
+    return pd.Series(out, index=texts.index)
 
 
 def hamming64(a: int, b: int) -> int:

@@ -110,14 +110,12 @@ def udf_fingerprint64(texts: pd.Series) -> pd.Series:
 
 @F.pandas_udf(ArrayType(LongType()))
 def udf_minhash64(texts: pd.Series) -> pd.Series:
-    return texts.fillna("").map(
-        lambda t: text.minhash_signature_one(text.char_shingles_one(t))
-    )
+    return text.minhash_signatures(texts)
 
 
 @F.pandas_udf(LongType())
 def udf_simhash64(texts: pd.Series) -> pd.Series:
-    return texts.fillna("").map(lambda t: text.simhash64_one(t.split()))
+    return text.simhash64_batch(texts)
 
 
 @F.pandas_udf(ArrayType(StringType()))

@@ -35,15 +35,24 @@ _MASK64 = (1 << 64) - 1
 
 
 def fnv64(values: pd.Series | list[str]) -> np.ndarray:
-    """Deterministic 64-bit FNV-1a per string (PYTHONHASHSEED-independent)."""
+    """Deterministic 64-bit FNV-1a per string (PYTHONHASHSEED-independent).
+
+    Vectorized by byte POSITION: hostnames are short (≲64 bytes), so the
+    whole Arrow batch folds in maxlen vectorized uint64 passes instead of a
+    per-string per-byte Python loop — this runs inside ``maybe_seen`` on
+    every candidate batch every round once the bloom bank activates, so it
+    must be C-speed (same values as the scalar FNV-1a)."""
     arr = values.to_numpy() if isinstance(values, pd.Series) else values
-    out = np.empty(len(arr), dtype=np.uint64)
-    for i, v in enumerate(arr):
-        h = _FNV_OFFSET
-        for b in v.encode("utf-8"):
-            h = ((h ^ b) * _FNV_PRIME) & _MASK64
-        out[i] = h
-    return out
+    from ..functions.text import padded_bytes
+
+    mat, lens = padded_bytes([v.encode("utf-8") for v in arr])
+    h = np.full(len(arr), _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the algorithm
+        for j in range(mat.shape[1]):
+            active = lens > j
+            h[active] = (h[active] ^ mat[active, j].astype(np.uint64)) \
+                * np.uint64(_FNV_PRIME)
+    return h
 
 
 def _mix(h: np.ndarray) -> np.ndarray:

@@ -65,9 +65,12 @@ BROADCAST_FRONTIER_MAX = 2_000_000
 
 
 def _status_expr(code_col):
+    """Raw status-line passthrough (reference_sim.status_line twin): unknown
+    codes keep an EMPTY reason with the trailing space — artifact
+    result.jsonl line 2 shows the reference emitting ``"status":"200 "``."""
     mapping = F.create_map(*[F.lit(x) for kv in _REASON.items() for x in kv])
-    return F.concat_ws(" ", code_col.cast("string"),
-                       F.coalesce(mapping[code_col], F.lit("Unknown")))
+    return F.concat(code_col.cast("string"), F.lit(" "),
+                    F.coalesce(mapping[code_col], F.lit("")))
 
 
 @dataclass
@@ -107,6 +110,7 @@ class CrawlEngine:
         self.dns = dns
         self.robots = robots
         self._bank: ShardedSeenFilter | None = None
+        self._bank_bc = None  # this round's broadcast handle (destroyed per round)
         self._seen_total = 0  # cumulative seen-host count (gates the bank)
 
     # -- lifecycle -----------------------------------------------------------
@@ -170,8 +174,11 @@ class CrawlEngine:
 
     def _maybe_new_filter(self, cand: DataFrame) -> DataFrame:
         """D1b: split candidates via the broadcast bloom bank — definite-new
-        rows skip the exact anti-join entirely."""
+        rows skip the exact anti-join entirely. The broadcast handle is kept
+        on self and destroyed at end-of-round (a long crawl would otherwise
+        leak one executor-resident bank per round)."""
         bank_bc = self.spark.sparkContext.broadcast(self._bank.to_bytes_list())
+        self._bank_bc = bank_bc
 
         @F.pandas_udf(BooleanType())
         def maybe_seen(hosts: pd.Series) -> pd.Series:
@@ -263,9 +270,13 @@ class CrawlEngine:
         )
 
         # ---- extraction (X1+F2 fused with X3 title — ONE Arrow pass) ---------
-        # fetched hosts (small) broadcast-join back to the text column; the
-        # captions stream scan → Arrow → UDF and are dropped before the cache
-        fetched_hosts = F.broadcast(j.filter("fetched").select("host", "root"))
+        # fetched hosts broadcast-join back to the text column (gated on the
+        # same frontier-size threshold as the fetch-join: a 10^10-row round
+        # would OOM the driver if broadcast unconditionally); the captions
+        # stream scan → Arrow → UDF and are dropped before the cache
+        fetched_hosts = j.filter("fetched").select("host", "root")
+        if small_round:
+            fetched_hosts = F.broadcast(fetched_hosts)
         width = self.spark.sparkContext.defaultParallelism
         pages = (fetched_hosts.join(self.corpus_text, "host")
                   # the join runs at the text scan's split count (could be 1-2
@@ -327,10 +338,14 @@ class CrawlEngine:
             dns_hit = self.dns.join(F.broadcast(active_j), "host", "inner")
         else:
             dns_hit = self.dns.join(active_j, "host", "inner")
+        # hosts absent from the dns table model "no response from any DNS
+        # server" (resolver.go:84-97) — rcode=-1 sentinel; only these set
+        # result.error (an NXDOMAIN RESPONSE leaves err==nil upstream,
+        # worker.go:148-151)
         dns_miss = active_j.join(self.dns.select("host"), "host", "left_anti")
         dns_miss = (dns_miss
                     .withColumn("ips", F.array().cast("array<string>"))
-                    .withColumn("rcode", F.lit(3).cast("int")))
+                    .withColumn("rcode", F.lit(-1).cast("int")))
         cols = ["host", "fetched", "proto", "status_code", "content_length",
                 "ips", "rcode"]
         dns_j = (dns_hit.select(*cols).unionByName(dns_miss.select(*cols))
@@ -352,8 +367,9 @@ class CrawlEngine:
                        F.col("status_code"),
                        F.coalesce(F.col("title"), F.lit("")).alias("title"),
                        F.col("content_length"),
-                       F.when(F.col("rcode") != 0,
-                              F.lit("dns error: NXDOMAIN")).alias("error"),
+                       F.when(F.col("rcode") == -1,
+                              F.lit("no response from any DNS server"))
+                        .alias("error"),
                    ))
 
         # ---- next frontier (U1) ------------------------------------------------
@@ -451,4 +467,7 @@ class CrawlEngine:
             df.unpersist()
         if split is not None:
             split.unpersist()
+        if self._bank_bc is not None:
+            self._bank_bc.destroy()
+            self._bank_bc = None
         return st

@@ -153,24 +153,26 @@ FROM documents
 def q_x1_extract(spark, sf_dir):
     """X1 — regex hostname extraction, lowercased (domain_service.go:133-153;
     the synthesized hosts are distinct so per-doc dedup is a no-op here —
-    dedup order semantics are pinned by tests/test_core.py instead)."""
+    dedup order semantics are pinned by tests/test_core.py instead).
+
+    Output is '|'-joined (order-preserving) rather than array<string>: the
+    driver's canonicalizer hashes scalar columns only."""
     d = _t(spark, sf_dir, "documents")
     t2 = F.concat(F.lit("visit "), "source", F.lit(".Example.COM and "),
                   "lang", F.lit(".example.org now"))
     d = d.withColumn("t2", t2)
-    return d.select(
-        "doc_id",
-        F.transform(F.regexp_extract_all("t2", F.lit(EXTRACT_PATTERN), F.lit(0)),
-                    lambda x: F.lower(x)).alias("hosts"),
-    )
+    hosts = F.transform(
+        F.regexp_extract_all("t2", F.lit(EXTRACT_PATTERN), F.lit(0)),
+        lambda x: F.lower(x))
+    return d.select("doc_id", F.array_join(hosts, "|").alias("hosts"))
 
 
 SQL_X1 = f"""
 SELECT doc_id,
-  list_transform(
+  array_to_string(list_transform(
     regexp_extract_all('visit ' || source || '.Example.COM and ' || lang
                        || '.example.org now', '{EXTRACT_PATTERN}'),
-    x -> lower(x)) AS hosts
+    x -> lower(x)), '|') AS hosts
 FROM documents
 """
 
@@ -659,37 +661,134 @@ def q_x2_extract_html(spark, sf_dir):
                     F.lit('.example.org"> and text-'), "source",
                     F.lit(".example.net plus /path/2f2f.example.com"))
     d = d.withColumn("html", html)
-    return d.select("doc_id", udfs.udf_extract_hosts_html("html").alias("hosts"))
+    # '|'-joined (order-preserving) — driver-hashable scalar output
+    return d.select(
+        "doc_id",
+        F.array_join(udfs.udf_extract_hosts_html("html"), "|").alias("hosts"))
 
 
-# -- Spark-only ops (no SQL-expressible oracle → driver rows-only check) -----
+# -- sketch ops: Arrow-UDF kernels on the Spark side, exact DuckDB twins -----
+# The kernels (functions/text.py) were designed SQL-portable: polynomial
+# folds mod Mersenne primes that DuckDB reproduces bit-for-bit with
+# HUGEINT/BIGINT list_reduce — so even the seeded-permutation sketches get
+# full value-hash oracles.
+
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 1000003
+
+
+def _sql_fp61(expr: str) -> str:
+    """DuckDB twin of functions/text.py fingerprint64_one: polynomial fold
+    h = (h·1000003 + byte) mod 2^61-1 in HUGEINT (documents are ASCII, so
+    ascii(char) == utf-8 byte)."""
+    return (
+        f"list_reduce(list_prepend(0::HUGEINT, list_transform("
+        f"generate_series(1, length({expr})), "
+        f"i -> ascii(substring({expr}, i, 1))::HUGEINT)), "
+        f"(h, b) -> (h * {_FP_BASE} + b) % {_FP_MOD})::BIGINT"
+    )
 
 
 def q_fingerprint64(spark, sf_dir):
     """Document fingerprint: Rabin-Karp rolling hash over UTF-8 bytes mod
-    2^61-1 (functions/text.py) via Arrow pandas UDF. Char-level SQL oracle is
-    possible but O(chars) row-expansion; rows-only check for now."""
+    2^61-1 (functions/text.py fingerprint64) via Arrow pandas UDF."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", udfs.udf_fingerprint64("text").alias("fp64"))
 
 
+SQL_FINGERPRINT = f"SELECT doc_id, {_sql_fp61('text')} AS fp64 FROM documents"
+
+
 def q_minhash_signature(spark, sf_dir):
-    """MinHash (64 perms over 5-char shingles) — dedup sketch; seeded affine
-    perms aren't SQL-portable → rows-only check."""
+    """MinHash (64 seeded affine perms mod 2^31-1 over 5-byte shingles of the
+    ws-collapsed text) — dedup sketch. Output comma-joined (driver-hashable);
+    the DuckDB oracle embeds the same RandomState(42) coefficients."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", udfs.udf_minhash64("text").alias("minhash"))
+    sig = F.transform(udfs.udf_minhash64("text"), lambda x: x.cast("string"))
+    return d.select("doc_id", F.array_join(sig, ",").alias("minhash"))
+
+
+def _sql_minhash_xs() -> str:
+    """Shared CTE chain: per-doc list of shingle hashes (poly-257 mod 2^31-1
+    over 5-char windows of the ws-collapsed text) — functions/text.py
+    minhash_signatures twin."""
+    p = text_k._MINHASH_P
+    return f"""
+WITH t AS (
+  SELECT doc_id, array_to_string(
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> ''),
+           ' ') AS tt
+  FROM documents
+), sh AS (
+  SELECT doc_id, CASE
+      WHEN length(tt) = 0 THEN []::VARCHAR[]
+      WHEN length(tt) < 5 THEN [tt]
+      ELSE list_transform(generate_series(1, length(tt) - 4),
+                          i -> substring(tt, i, 5))
+    END AS shingles
+  FROM t
+), shr AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), xr AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0::BIGINT, list_transform(
+             generate_series(1, length(s)),
+             i -> ascii(substring(s, i, 1))::BIGINT)),
+           (h, b) -> (h * {text_k._SH_BASE} + b) % {p}) AS x
+  FROM shr
+), xs AS (
+  SELECT doc_id, list(x) AS xs FROM xr GROUP BY doc_id
+)"""
+
+
+def _sql_minhash() -> str:
+    a, b = text_k._minhash_coeffs(64, 42)
+    p = text_k._MINHASH_P
+    terms = ", ".join(
+        f"list_min(list_transform(xs, x -> ({int(ai)}*x + {int(bi)}) % {p}))::VARCHAR"
+        for ai, bi in zip(a, b))
+    empty = ",".join([str(p)] * 64)
+    return f"""{_sql_minhash_xs()}
+SELECT d.doc_id,
+       CASE WHEN xs IS NULL THEN '{empty}'
+            ELSE concat_ws(',', {terms}) END AS minhash
+FROM documents d LEFT JOIN xs ON d.doc_id = xs.doc_id
+"""
 
 
 def q_simhash64(spark, sf_dir):
-    """SimHash64 over tokens — near-dup sketch; rows-only check."""
+    """SimHash over 61-bit polynomial token hashes (functions/text.py
+    simhash64_batch) — near-dup sketch, bit-majority per document."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", udfs.udf_simhash64("text").alias("simhash"))
 
 
+def _sql_simhash() -> str:
+    csums = ", ".join(f"sum(((h >> {i}) & 1)::BIGINT) AS c{i}" for i in range(61))
+    packed = " + ".join(f"CASE WHEN 2*c{i} > n THEN {1 << i} ELSE 0 END"
+                        for i in range(61))
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            w -> w <> '')) AS tk
+  FROM documents
+), h AS (
+  SELECT doc_id, {_sql_fp61('tk')} AS h FROM tok
+), agg AS (
+  SELECT doc_id, count(*) AS n, {csums} FROM h GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(({packed})::BIGINT, 0) AS simhash
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash LSH near-dup candidate pairs: band the 64-perm signature into
-    8 bands × 8 rows, self-join on (band, band-hash), dedup pairs.
-    Rows-only check (signature seeds aren't SQL-portable)."""
+    8 bands × 8 rows, hash each band with md5 (SQL-portable — both engines
+    produce identical hex digests of the same band string), self-join on the
+    band hash, dedup pairs. The banded self-join bounds the pair explosion —
+    the 100 TB-safe shape."""
     d = _t(spark, sf_dir, "documents")
     sig = d.select("doc_id", udfs.udf_minhash64("text").alias("sig"))
     bands = sig.select(
@@ -698,11 +797,36 @@ def q_minhash_lsh_pairs(spark, sf_dir):
             F.transform(F.sequence(F.lit(0), F.lit(7)),
                         lambda b: F.slice("sig", b * 8 + 1, 8))
         ).alias("band", "band_sig"))
-    bands = bands.withColumn("bh", F.xxhash64(F.col("band"), F.col("band_sig")))
+    bh = F.md5(F.concat_ws(":", F.col("band").cast("string"),
+                           F.array_join(F.transform(
+                               "band_sig", lambda x: x.cast("string")), ",")))
+    bands = bands.select("doc_id", bh.alias("bh"))
     a = bands.select(F.col("doc_id").alias("a"), "bh")
     b = bands.select(F.col("doc_id").alias("b"), "bh")
     return (a.join(b, "bh").filter(F.col("a") < F.col("b"))
              .select("a", "b").distinct())
+
+
+def _sql_minhash_lsh_pairs() -> str:
+    a, b = text_k._minhash_coeffs(64, 42)
+    p = text_k._MINHASH_P
+    # coalesce(…, p) handles zero-shingle docs (Spark sig = [p]*64)
+    terms = ", ".join(
+        f"coalesce(list_min(list_transform(xs, x -> ({int(ai)}*x + {int(bi)}) % {p})), {p})"
+        for ai, bi in zip(a, b))
+    return f"""{_sql_minhash_xs()},
+sig AS (
+  SELECT d.doc_id, [{terms}] AS sig
+  FROM documents d LEFT JOIN xs ON d.doc_id = xs.doc_id
+), bands AS (
+  SELECT doc_id,
+         md5(b.band::VARCHAR || ':' ||
+             array_to_string(sig[b.band*8 + 1 : b.band*8 + 8], ',')) AS bh
+  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) b
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y ON x.bh = y.bh AND x.doc_id < y.doc_id
+"""
 
 
 QUERIES = {
@@ -764,7 +888,13 @@ def oracles() -> dict[str, str]:
         "a3_recent": SQL_A3,
         "props_json": SQL_PROPS_JSON,
         "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
-        # x2_extract_html: urlparse semantics not SQL-portable → rows-only
-        # fingerprint64 / minhash_signature / simhash64 / minhash_lsh_pairs:
-        # intentionally no oracle (non-SQL-portable seeds) → rows-only check
+        "fingerprint64": SQL_FINGERPRINT,
+        "minhash_signature": _sql_minhash(),
+        "simhash64": _sql_simhash(),
+        "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
+        # x2_extract_html is the ONLY remaining rows-only query: its
+        # href/src extraction runs urllib.parse.urlparse (RFC 3986 netloc
+        # rules — scheme-relative '//h', userinfo, ports), which has no
+        # DuckDB equivalent; semantics are pinned by tests/test_core.py
+        # porting the reference's own cases (domain_service_test.go:311-337).
     }

@@ -51,7 +51,11 @@ _REASON = {200: "OK", 301: "Moved Permanently", 404: "Not Found",
 
 
 def status_line(code: int) -> str:
-    return f"{code} {_REASON.get(code, 'Unknown')}"
+    """Raw status-line passthrough: known codes get Go's reason phrase;
+    unknown codes keep an EMPTY reason with the trailing space — the
+    reference emits the server's raw status line verbatim (artifact
+    result.jsonl line 2 shows ``"status":"200 "``)."""
+    return f"{code} {_REASON.get(code, '')}"
 
 
 @dataclass
@@ -196,8 +200,13 @@ class ReferenceSimulator:
                         break
                 if not fetched:
                     m["error_count"] += 1
-                # DNS always runs (worker.go:143-144)
-                ips, rcode = self.dns.get(host, ([], 3))
+                # DNS always runs (worker.go:143-144). A host present in the
+                # dns table "responded" (rcode 0 or NXDOMAIN=3 — resolver.go
+                # returns err==nil for any response, so result.error stays
+                # empty); a host ABSENT from the table models "no response
+                # from any DNS server" (resolver.go:84-97), rcode=-1 sentinel,
+                # and only THAT sets result.error (worker.go:148-151).
+                ips, rcode = self.dns.get(host, ([], -1))
                 m["dns_requests"] += 1
                 dns_log.append(dict(round=rnd, host=host, ips=ips, rcode=rcode))
                 if fetched:
@@ -206,7 +215,8 @@ class ReferenceSimulator:
                         subdomains=page_novel,
                         status=status_line(code), status_code=code,
                         title=title, content_length=len(self.corpus[host][2]),
-                        error="dns error: NXDOMAIN" if rcode != 0 else None,
+                        error="no response from any DNS server"
+                              if rcode == -1 else None,
                     ))
                 m["unique_subdomains"] += len(page_novel)
                 # enqueue (worker.go:194-223): scope re-check is a no-op

@@ -121,8 +121,9 @@ def test_get_distance():
     assert core.get_distance_one("www.example.com", "example.com") == 1
     assert core.get_distance_one("example.com", "example.com") == 0
     assert core.get_distance_one("attacker.com", "example.com") == -1
-    # quirk: plain HasSuffix (no dot) — "notexample.com" IS related per Go
-    assert core.get_distance_one("notexample.com", "example.com") == 0
+    # quirk: plain HasSuffix (no dot) — "notexample.com" IS related per Go,
+    # and TrimSuffix(".example.com") is a no-op → count all dots + 1 = 2
+    assert core.get_distance_one("notexample.com", "example.com") == 2
 
 
 # TestExtractor_ExtractFromText (domain_service_test.go:117-156)
