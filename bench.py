@@ -172,22 +172,36 @@ def scaling() -> None:
     local[8], local[32] — two N→4N pairs) over identical cached input, two
     trials each (min taken: the shared host shows ±25% wall noise); report
     throughput + scaling efficiency (north-rule evidence — this sandbox's
-    stand-in for N vs 4N executors, per the driver instruction)."""
+    stand-in for N vs 4N executors, per the driver instruction).
+
+    Each trial runs in a FRESH subprocess (own JVM + Python): reusing one
+    Python process across spark.stop()/getOrCreate poisons later sessions
+    (the stopped context's Python-accumulator server leaks into the next —
+    thousands of broken-pipe/EOF errors and 2-10× wall inflation, observed
+    on this box). Separate processes also match the real N-vs-4N protocol:
+    two independently-launched clusters."""
+    import subprocess
+
     n_roots = int(os.environ.get("SPARK_GRAFT_SCALING_ROOTS", "12000"))
     hpr = int(os.environ.get("SPARK_GRAFT_SCALING_HPR", "24"))
     bloat = int(os.environ.get("SPARK_GRAFT_SCALING_BLOAT", "500"))
     trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
-    base = scaling_web_dir(n_roots, hpr, bloat)
-    seeds = [f"site{i}.com" for i in range(n_roots)]
-    os.environ.setdefault("SPARK_GRAFT_MAX_ROUNDS", "3")
+    scaling_web_dir(n_roots, hpr, bloat)  # pre-generate once (pyarrow-only)
     results = {}
     for cpus in (2, 8, 32):
-        spark = build_spark(cpus)
         walls, out = [], None
         for _ in range(trials):
-            out = _crawl_over(spark, base, seeds, {"cpus": cpus})
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                       SPARK_GRAFT_SCALING_ROOTS=str(n_roots),
+                       SPARK_GRAFT_SCALING_HPR=str(hpr),
+                       SPARK_GRAFT_SCALING_BLOAT=str(bloat),
+                       SPARK_GRAFT_MAX_ROUNDS=os.environ.get(
+                           "SPARK_GRAFT_MAX_ROUNDS", "3"))
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-one"],
+                env=env, capture_output=True, text=True, check=True)
+            out = json.loads(proc.stdout.strip().splitlines()[-1])
             walls.append(out["wall_sec"])
-        spark.stop()
         best = min(walls)
         results[cpus] = {"walls": walls, "wall_best": best,
                          "frontier_urls": out["frontier_urls"],

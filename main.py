@@ -149,11 +149,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.http_log:
             hl = engine.io.read_upto("http_log", last)
             if hl is not None:
-                jsonl.export_log_jsonl(hl, args.http_log)
+                jsonl.export_http_jsonl(hl, args.http_log, corpus=corpus)
         if args.dns_log:
             dl = engine.io.read_upto("dns_log", last)
             if dl is not None:
-                jsonl.export_log_jsonl(dl, args.dns_log)
+                jsonl.export_dns_jsonl(dl, args.dns_log)
 
     print(json.dumps({
         "rounds": len(stats),

@@ -34,6 +34,11 @@ class CrawlConfig:
     salt_buckets: int = 8           # salts per root for hot-SLD skew
     default_per_root_budget: int | None = None  # None = unlimited per round
     honor_robots: bool = True
+    # crawl_delay → budget derivation: one round models this many seconds of
+    # polite fetching, so a root with crawl_delay=d gets at most
+    # round_window_sec // d slots per round (combined with max_per_round via
+    # min; see operators/politeness.py)
+    round_window_sec: int = 60
 
     # canonical-form knobs
     shuffle_partitions: int = 32

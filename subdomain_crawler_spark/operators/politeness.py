@@ -1,11 +1,27 @@
-"""W2 — per-host politeness budgets with salted skew-safe top-K.
+"""W2 — robots.txt politeness: disallow rules + per-host budgets with salted
+skew-safe top-K.
 
 North-rule addition: the reference has NO per-host rate control (its channel
 is plain FIFO; a hot SLD simply monopolizes the 32 workers —
 /root/reference/pkg/infrastructure/storage/queue.go:25-39). Here each round
-schedules at most ``max_per_round`` hosts per registered domain (from the
-robots table, default from config); the rest defer to the next round's
-frontier with their row unchanged.
+schedules at most ``budget`` hosts per registered domain; the rest defer to
+the next round's frontier with their row unchanged.
+
+Robots semantics (robots table: root, disallow_prefixes array<string>,
+crawl_delay int, max_per_round int):
+
+* **disallow_prefixes** — entries starting with ``/`` are URL-path prefixes;
+  this engine fetches only ``proto://host/``, so a ``/`` entry blocks the
+  whole root and any other path entry (``/private``) matches nothing.
+  Entries NOT starting with ``/`` are host-prefix rules (``admin.`` blocks
+  ``admin.<anything>``) — the useful robots dialect for a host-only crawl.
+  Blocked hosts are dropped permanently (never fetched, never deferred;
+  they were already seen-marked at extraction time, so they cannot loop).
+* **crawl_delay** — one round models ``cfg.round_window_sec`` seconds of
+  polite fetching, so a root with crawl_delay=d gets at most
+  ``round_window_sec // d`` slots per round.
+* effective budget = min(max_per_round, delay budget), nulls skipped;
+  both null → ``cfg.default_per_root_budget`` (None = unlimited).
 
 Canonical priority within a root: (depth ASC, host ASC) — shallow hosts
 first, deterministic tie-break, so deferral is reproducible and the E2E
@@ -37,7 +53,8 @@ def apply_budgets(
     robots: DataFrame | None,
     cfg: CrawlConfig,
 ) -> tuple[DataFrame, DataFrame | None]:
-    """Split the round's frontier into (scheduled, deferred).
+    """Split the round's frontier into (scheduled, deferred), after dropping
+    robots-disallowed hosts.
 
     deferred is None when no budget applies (politeness disabled or no
     robots table and no default budget) — the common fast path adds zero
@@ -48,12 +65,33 @@ def apply_budgets(
         return frontier, None
 
     if robots is not None:
-        budgets = robots.select("root", F.col("max_per_round").alias("_budget"))
-        f = frontier.join(F.broadcast(budgets), "root", "left")
-        f = f.withColumn(
-            "_budget",
-            F.coalesce(F.col("_budget"),
-                       F.lit(default_budget).cast("int")))
+        cols = ["root", "max_per_round"]
+        has_disallow = "disallow_prefixes" in robots.columns
+        has_delay = "crawl_delay" in robots.columns
+        cols += (["disallow_prefixes"] if has_disallow else []) \
+            + (["crawl_delay"] if has_delay else [])
+        f = frontier.join(F.broadcast(robots.select(*cols)), "root", "left")
+        if has_disallow:
+            blocked = F.exists(
+                "disallow_prefixes",
+                lambda p: (p == F.lit("/"))
+                | ((~p.startswith("/")) & F.col("host").startswith(p)))
+            f = (f.filter(~F.coalesce(blocked, F.lit(False)))
+                  .drop("disallow_prefixes"))
+        budget = F.col("max_per_round")
+        if has_delay:
+            delay_budget = F.when(
+                F.col("crawl_delay") > 0,
+                F.floor(F.lit(cfg.round_window_sec)
+                        / F.col("crawl_delay")).cast("int"))
+            budget = F.least(budget, delay_budget)  # least skips nulls
+            f = f.withColumn("_budget", budget).drop("crawl_delay")
+        else:
+            f = f.withColumn("_budget", budget)
+        f = (f.withColumn("_budget",
+                          F.coalesce(F.col("_budget"),
+                                     F.lit(default_budget).cast("int")))
+              .drop("max_per_round"))
     else:
         f = frontier.withColumn("_budget", F.lit(default_budget).cast("int"))
 

@@ -37,7 +37,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, BooleanType, IntegerType, StringType, StructField, StructType,
@@ -49,7 +49,6 @@ from ..operators import politeness as pol
 from ..operators import seen as seen_mod
 from ..operators.seen import ShardedSeenFilter
 from ..sources.tableio import ParquetSnapshotIO
-from .reference_sim import expand_seeds
 
 _REASON = {200: "OK", 301: "Moved Permanently", 404: "Not Found",
            500: "Internal Server Error", 204: "No Content"}
@@ -116,11 +115,41 @@ class CrawlEngine:
     # -- lifecycle -----------------------------------------------------------
 
     def start(self, seeds: list[str]) -> None:
-        """Round-0 frontier from seeds (S1 parse + X4 expansion + root stamp)."""
-        rows = expand_seeds(seeds, self.cfg)
-        df = self.spark.createDataFrame(
-            pd.DataFrame(rows, columns=["host", "root", "depth"]), FRONTIER_SCHEMA
-        )
+        """Round-0 frontier from seeds — S1 parse + X4 expansion + root stamp
+        (assembler.go:106-159 + crawl_usecase.go:237-263), DISTRIBUTED: only
+        the raw seed lines cross the driver boundary; the ~134× prefix
+        fan-out happens as a columnar explode on executors (a driver-side
+        expansion of a 10^8-seed list would materialize 10^10 rows in the
+        driver). Semantics identical to reference_sim.expand_seeds —
+        e2e goldens compare the two."""
+        from ..functions import core
+
+        cfg = self.cfg
+        lines = self.spark.createDataFrame(
+            pd.DataFrame({"line": pd.Series(seeds, dtype="string")}))
+        cleaned = (lines.select(F.trim("line").alias("line"))
+                   .filter((F.col("line") != "")
+                           & ~F.col("line").startswith("#"))
+                   .select(F.lower("line").alias("seed")))
+        if cfg.expand_sld:
+            prefixes = core.merged_prefixes(list(cfg.custom_prefixes))
+            parr = F.array(*[F.lit(p) for p in prefixes])
+            cands = (F.when(udfs.udf_is_sld("seed"),
+                            F.concat(F.array(F.col("seed")),
+                                     F.transform(parr, lambda p: F.concat(
+                                         p, F.lit("."), F.col("seed")))))
+                     .otherwise(F.array(F.col("seed"))))
+        else:
+            cands = F.array(F.col("seed"))
+        df = (cleaned
+              .repartition(self.spark.sparkContext.defaultParallelism)
+              .select(F.explode(cands).alias("host"))
+              .select("host",
+                      F.coalesce(udfs.udf_get_root("host"),
+                                 F.col("host")).alias("root"),  # PSL-error
+                      # fallback quirk (crawl_usecase.go:239-242); depth
+                      # hardcoded 0 even for expanded subdomains (:248)
+                      F.lit(0).cast("int").alias("depth")))
         self.io.append("frontier", self._dedup_frontier(df), 0)
 
     def resume_round(self) -> int:
@@ -145,15 +174,18 @@ class CrawlEngine:
                         max(1024, self.cfg.bloom_capacity // self.cfg.bloom_shards),
                         self.cfg.bloom_fp)
         stats: list[RoundStats] = []
+        n: int | None = None  # carried forward from the frontier write's
+        # observation — no per-round count() job after round 0
         while rnd < max_rounds:
             if not self.io.exists("frontier", rnd):
                 break
             frontier = self.io.read_round("frontier", rnd).persist()
-            n = frontier.count()
+            if n is None:  # fresh start / resume: one-time count
+                n = frontier.count()
             if n == 0:
                 frontier.unpersist()
                 break
-            st = self._run_round(rnd, frontier, n)
+            st, n = self._run_round(rnd, frontier, n)
             stats.append(st)
             if progress:
                 progress(st)
@@ -164,10 +196,15 @@ class CrawlEngine:
 
     @staticmethod
     def _dedup_frontier(df: DataFrame) -> DataFrame:
-        """Canonical within-round dedup: one row per host, min (root, depth)."""
-        w = Window.partitionBy("host").orderBy("root", "depth")
-        return (df.withColumn("_rn", F.row_number().over(w))
-                  .filter(F.col("_rn") == 1).drop("_rn"))
+        """Canonical within-round dedup: one row per host, min (root, depth).
+
+        groupBy + min-struct, not a window row_number: the aggregate gets a
+        map-side partial combine (a hot host's duplicates collapse before
+        the shuffle), a window would ship every duplicate to one task."""
+        return (df.groupBy("host")
+                  .agg(F.min(F.struct("root", "depth")).alias("_w"))
+                  .select("host", F.col("_w.root").alias("root"),
+                          F.col("_w.depth").alias("depth")))
 
     def _cumulative_seen(self, rnd: int) -> DataFrame | None:
         return self.io.read_upto("seen", rnd - 1)
@@ -188,7 +225,9 @@ class CrawlEngine:
         return cand.withColumn("_maybe_seen", maybe_seen(F.col("cand")))
 
     def _run_round(self, rnd: int, frontier: DataFrame,
-                   tasks_processed: int) -> RoundStats:
+                   tasks_processed: int) -> tuple[RoundStats, int]:
+        """One crawl round. Returns (stats, next-frontier row count — observed
+        on the frontier write, so the next round needs no count() job)."""
         t0 = time.monotonic()
         cfg = self.cfg
         spark = self.spark
@@ -242,24 +281,19 @@ class CrawlEngine:
               .drop("proto_ok")
               .persist())
 
-        # ---- http log (S3): one row per attempt, failures included ----------
-        attempt = lambda proto_lit, att_col, ok_col: F.when(att_col, F.struct(
-            F.lit(proto_lit).alias("proto"),
-            F.concat(F.lit(proto_lit + "://"), F.col("host")).alias("url"),
-            F.when(ok_col, F.col("status_code")).alias("status_code"),
-            F.when(~ok_col, F.lit("connection refused")).alias("error"),
-        ))
-        http_log = (j.select(
-            F.col("host"),
-            F.explode(F.filter(F.array(
-                attempt("https", F.col("active"), F.col("https_ok")),
-                attempt("http", F.col("http_att"), F.col("http_ok")),
-            ), lambda x: x.isNotNull())).alias("a"))
-            .select(F.lit(rnd).alias("round"), "host", "a.proto", "a.url",
-                    "a.status_code", "a.error"))
-
-        # ---- metrics pieces (job launched in parallel with the rest) ---------
-        agg_df = j.agg(
+        # A1 counters ride on the http_log write as an observation — zero
+        # extra jobs (the old agg_df.collect() was a full serial job). The
+        # observe node sits on the http_log BRANCH (a pure projection over
+        # the cached j, executed by exactly one action) and NOT on j itself:
+        # (a) a node shared by wave 2's concurrent actions would report only
+        # the partitions each action computed, and (b) inside wave 1's
+        # fetch-join lineage AQE's empty-relation propagation can drop the
+        # CollectMetrics node entirely when a build side turns up empty
+        # (observed: Observation.get then throws 'assertion failed' in
+        # toPyRow).
+        obs_j = Observation()
+        j_observed = j.observe(
+            obs_j,
             F.sum(F.col("active").cast("long")).alias("https_attempts"),
             F.sum(F.col("http_att").cast("long")).alias("http_attempts"),
             F.sum(F.col("fetched").cast("long")).alias("success"),
@@ -268,6 +302,22 @@ class CrawlEngine:
             F.sum((F.col("active") & ~F.col("fetched")).cast("long")).alias("e3"),
             F.sum(F.col("active").cast("long")).alias("dns_requests"),
         )
+
+        # ---- http log (S3): one row per attempt, failures included ----------
+        attempt = lambda proto_lit, att_col, ok_col: F.when(att_col, F.struct(
+            F.lit(proto_lit).alias("proto"),
+            F.concat(F.lit(proto_lit + "://"), F.col("host")).alias("url"),
+            F.when(ok_col, F.col("status_code")).alias("status_code"),
+            F.when(~ok_col, F.lit("connection refused")).alias("error"),
+        ))
+        http_log = (j_observed.select(
+            F.col("host"),
+            F.explode(F.filter(F.array(
+                attempt("https", F.col("active"), F.col("https_ok")),
+                attempt("http", F.col("http_att"), F.col("http_ok")),
+            ), lambda x: x.isNotNull())).alias("a"))
+            .select(F.lit(rnd).alias("round"), "host", "a.proto", "a.url",
+                    "a.status_code", "a.error"))
 
         # ---- extraction (X1+F2 fused with X3 title — ONE Arrow pass) ---------
         # fetched hosts broadcast-join back to the text column (gated on the
@@ -373,27 +423,40 @@ class CrawlEngine:
                    ))
 
         # ---- next frontier (U1) ------------------------------------------------
+        # NOTE on observation placement: a metric observed directly on the
+        # cached `winner` would be split across wave 2's concurrent actions
+        # (each action's accumulator only sees the partitions IT computed).
+        # These projections each have exactly ONE consuming action — seen
+        # write / frontier write — so every row flows through the observe
+        # node inside a single query and the counts are exact.
+        obs_enq = Observation()
         novel_frontier = (winner
                           .filter(F.col("depth") <= F.lit(cfg.max_depth))
                           .select(F.col("cand").alias("host"),
-                                  F.col("winner_root").alias("root"), "depth"))
+                                  F.col("winner_root").alias("root"), "depth")
+                          .observe(obs_enq,
+                                   F.count(F.lit(1)).alias("enqueued")))
         next_frontier = novel_frontier
         if deferred is not None:
             next_frontier = self._dedup_frontier(
                 next_frontier.unionByName(deferred))
+        # the frontier write's observation feeds the NEXT round's row count —
+        # the old per-round frontier.count() job is gone
+        obs_f = Observation()
+        next_frontier = next_frontier.observe(
+            obs_f, F.count(F.lit(1)).alias("n"))
 
-        # ---- commit round: independent jobs run concurrently -------------------
-        novel_df = winner.select(F.col("cand").alias("host"))
-        wc_df = winner.agg(
-            F.count(F.lit(1)).alias("novel"),
-            F.sum((F.col("depth") <= F.lit(cfg.max_depth)).cast("long"))
-             .alias("enqueued"),
-        )
-        # materialize the round's caches SEQUENTIALLY first — one collect per
-        # cache layer, innermost first. Concurrent (or async-broadcast-
-        # subquery) first-touch would race to compute the same uncached
-        # lineage — j's fetch-join and pages' extraction UDF would each run
-        # twice per round.
+        # ---- commit round: TWO job waves ----------------------------------------
+        # Wave 1 (one job) materializes the expensive shared lineage — the
+        # fetch-join (j) and the extraction UDF output (pages). Wave 2 runs
+        # every table write concurrently: first-touch of the remaining
+        # caches (winner, dns_j) is deduplicated per-partition by the
+        # BlockManager's block locks, and all metrics arrive via
+        # observations riding on the writes — no dedicated collect/count
+        # jobs remain in the round.
+        obs_novel = Observation()
+        novel_df = (winner.select(F.col("cand").alias("host"))
+                    .observe(obs_novel, F.count(F.lit(1)).alias("novel")))
         import os as _os
         _timing = _os.environ.get("SPARK_GRAFT_TIMING") == "1"
         _t = time.monotonic()
@@ -405,39 +468,43 @@ class CrawlEngine:
                       flush=True)
             _t = time.monotonic()
 
-        agg = agg_df.collect()[0]   # materializes j
-        _mark("agg/j")
-        pages.count()               # materializes the extraction UDF output
-        _mark("pages")
-        wc = wc_df.collect()[0]     # materializes winner (novel broadcast
-                                    # subquery now reads the pages cache)
-        _mark("winner")
-        dns_j.count()
-        _mark("dns_j")
-        # now every write is a cache scan + parquet write; run them together
+        pages.count()   # wave 1: computes + caches j and the extraction UDF
+        _mark("wave1 j+pages")
+
+        def _timed_append(table, df, r):
+            w0 = time.monotonic()
+            self.io.append(table, df, r)
+            if _timing:
+                print(f"    [r{rnd}]   write {table}: "
+                      f"{time.monotonic() - w0:.1f}s", flush=True)
+
         with ThreadPoolExecutor(max_workers=5) as pool:
             writes = [
-                pool.submit(self.io.append, "results", shrink(results), rnd),
-                pool.submit(self.io.append, "http_log", shrink(http_log), rnd),
-                pool.submit(self.io.append, "dns_log", shrink(dns_log), rnd),
-                pool.submit(self.io.append, "seen", shrink(novel_df), rnd),
-                pool.submit(self.io.append, "frontier", shrink(next_frontier),
+                pool.submit(_timed_append, "results", shrink(results), rnd),
+                pool.submit(_timed_append, "http_log", shrink(http_log), rnd),
+                pool.submit(_timed_append, "dns_log", shrink(dns_log), rnd),
+                pool.submit(_timed_append, "seen", shrink(novel_df), rnd),
+                pool.submit(_timed_append, "frontier", shrink(next_frontier),
                             rnd + 1),
             ]
             for w in writes:
                 w.result()
-        _mark("writes")
-        unique_subdomains = int(wc["novel"] or 0)
-        tasks_enqueued = int(wc["enqueued"] or 0)
+        _mark("wave2 writes")
+        agg = obs_j.get
+        n_next = int(obs_f.get["n"])
+        unique_subdomains = int(obs_novel.get["novel"] or 0)
+        tasks_enqueued = int(obs_enq.get["enqueued"] or 0)
 
         st = RoundStats(
             round=rnd,
             tasks_processed=tasks_processed,
             tasks_enqueued=tasks_enqueued,
-            http_requests=int(agg["https_attempts"] + agg["http_attempts"]),
-            dns_requests=int(agg["dns_requests"]),
-            success_count=int(agg["success"]),
-            error_count=int(agg["e1"] + agg["e2"] + agg["e3"]),
+            http_requests=int((agg["https_attempts"] or 0)
+                              + (agg["http_attempts"] or 0)),
+            dns_requests=int(agg["dns_requests"] or 0),
+            success_count=int(agg["success"] or 0),
+            error_count=int((agg["e1"] or 0) + (agg["e2"] or 0)
+                            + (agg["e3"] or 0)),
             unique_subdomains=unique_subdomains,
             wall_sec=time.monotonic() - t0,
         )
@@ -455,7 +522,9 @@ class CrawlEngine:
                 # first activation: cover everything seen so far
                 src = self._cumulative_seen(rnd + 1)
             else:
-                src = novel_df
+                # fresh projection (not novel_df: its Observation belongs to
+                # the seen write's action alone)
+                src = winner.select(F.col("cand").alias("host"))
             fresh = seen_mod.build_bank_distributed(
                 src, "host",
                 cfg.bloom_shards,
@@ -470,4 +539,4 @@ class CrawlEngine:
         if self._bank_bc is not None:
             self._bank_bc.destroy()
             self._bank_bc = None
-        return st
+        return st, n_next

@@ -38,6 +38,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents spread across all cores for CPU-heavy Arrow-UDF kernels.
+
+    The sf-testdata documents table is a single small parquet file → one
+    scan split → a pandas UDF would run on ONE core. At real scale the scan
+    splits by row group (maxPartitionBytes) and this repartition is a no-op
+    cost-wise: kernel CPU ≫ one extra shuffle of the text column."""
+    d = _t(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _sql_list(items) -> str:
     return "(" + ", ".join(f"'{i}'" for i in items) + ")"
 
@@ -654,7 +665,7 @@ def q_x2_extract_html(spark, sf_dir):
     """X2 — HTML-aware extraction (domain_service.go:156-195; dead code in
     the reference's main path, parity-kept). href/src URL parsing via
     urllib — not SQL-portable → rows-only check."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     html = F.concat(F.lit('<a href="http://link-'), "source",
                     F.lit('.example.com/x">'), F.substring("text", 1, 40),
                     F.lit('</a> <img src="//img-'), "lang",
@@ -692,7 +703,7 @@ def _sql_fp61(expr: str) -> str:
 def q_fingerprint64(spark, sf_dir):
     """Document fingerprint: Rabin-Karp rolling hash over UTF-8 bytes mod
     2^61-1 (functions/text.py fingerprint64) via Arrow pandas UDF."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return d.select("doc_id", udfs.udf_fingerprint64("text").alias("fp64"))
 
 
@@ -703,7 +714,7 @@ def q_minhash_signature(spark, sf_dir):
     """MinHash (64 seeded affine perms mod 2^31-1 over 5-byte shingles of the
     ws-collapsed text) — dedup sketch. Output comma-joined (driver-hashable);
     the DuckDB oracle embeds the same RandomState(42) coefficients."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     sig = F.transform(udfs.udf_minhash64("text"), lambda x: x.cast("string"))
     return d.select("doc_id", F.array_join(sig, ",").alias("minhash"))
 
@@ -759,7 +770,7 @@ FROM documents d LEFT JOIN xs ON d.doc_id = xs.doc_id
 def q_simhash64(spark, sf_dir):
     """SimHash over 61-bit polynomial token hashes (functions/text.py
     simhash64_batch) — near-dup sketch, bit-majority per document."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return d.select("doc_id", udfs.udf_simhash64("text").alias("simhash"))
 
 
@@ -789,7 +800,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     produce identical hex digests of the same band string), self-join on the
     band hash, dedup pairs. The banded self-join bounds the pair explosion —
     the 100 TB-safe shape."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     sig = d.select("doc_id", udfs.udf_minhash64("text").alias("sig"))
     bands = sig.select(
         "doc_id",

@@ -105,13 +105,34 @@ class ReferenceSimulator:
             for r in corpus.itertuples()
         }
         self.dns = {r.host: (list(r.ips), int(r.rcode)) for r in dns.itertuples()}
-        self.budgets: dict[str, int] | None = None
+        # root → (disallow_prefixes, effective_budget) — twin of
+        # operators/politeness.py (module docstring there documents the
+        # robots dialect: '/'-entries are URL-path prefixes against our
+        # always-'/' fetch path, other entries are host prefixes;
+        # crawl_delay=d → round_window_sec // d slots, min'd with
+        # max_per_round)
+        self.budgets: dict[str, tuple[list[str], int | None]] | None = None
         if cfg.honor_robots and (robots is not None or
                                  cfg.default_per_root_budget is not None):
             self.budgets = {}
             if robots is not None:
                 for r in robots.itertuples():
-                    self.budgets[r.root] = int(r.max_per_round)
+                    prefixes = list(getattr(r, "disallow_prefixes", []) or [])
+                    cands = []
+                    mpr = getattr(r, "max_per_round", None)
+                    if mpr is not None:
+                        cands.append(int(mpr))
+                    delay = getattr(r, "crawl_delay", None)
+                    if delay is not None and int(delay) > 0:
+                        cands.append(cfg.round_window_sec // int(delay))
+                    self.budgets[r.root] = (
+                        prefixes, min(cands) if cands else None)
+
+    @staticmethod
+    def _disallowed(host: str, prefixes: list[str]) -> bool:
+        return any(
+            p == "/" or (not p.startswith("/") and host.startswith(p))
+            for p in prefixes)
 
     def _apply_budgets(
         self, rows: list[tuple[str, str, int]]
@@ -127,7 +148,14 @@ class ReferenceSimulator:
             by_root.setdefault(row[1], []).append(row)
         scheduled, deferred = [], []
         for root, group in by_root.items():
-            budget = self.budgets.get(root, default)
+            info = self.budgets.get(root)
+            if info is not None:
+                prefixes, budget = info
+                if prefixes:  # disallowed: dropped permanently, not deferred
+                    group = [r for r in group
+                             if not self._disallowed(r[0], prefixes)]
+            else:
+                budget = default
             if budget is None:
                 scheduled.extend(group)
                 continue

@@ -132,9 +132,12 @@ def make_web(scale: int = 1, seed: int = 42) -> dict[str, pd.DataFrame]:
                 dns_rows.append(dict(host=host, ips=[], rcode=3))
 
     robots_rows = [
-        dict(root=HOT_ROOT, disallow_prefixes=["/private"], crawl_delay=1,
-             max_per_round=25 * scale),
-        dict(root="alpha.com", disallow_prefixes=[], crawl_delay=0,
+        # '/private' is a PATH rule (matches nothing against our '/'-only
+        # fetches); 'cdn.' is a HOST-prefix rule blocking cdn.* hosts
+        dict(root=HOT_ROOT, disallow_prefixes=["/private", "cdn."],
+             crawl_delay=1, max_per_round=25 * scale),
+        # crawl_delay bites here: 60s window // 5 = 12 < max_per_round
+        dict(root="alpha.com", disallow_prefixes=[], crawl_delay=5,
              max_per_round=1000000),
         dict(root="beta.org", disallow_prefixes=[], crawl_delay=2,
              max_per_round=2 * scale),

@@ -56,22 +56,115 @@ def results_to_jsonl_df(results: DataFrame, epoch: float | None = None) -> DataF
     )
 
 
-def export_log_jsonl(log: DataFrame, path: str) -> None:
-    """Export an http_log/dns_log table as one JSONL file (S3/S4 twins of
-    writer.go:66-100), canonically ordered by (round, host) — null fields
-    (e.g. status_code on failed attempts) are omitted per Go omitempty."""
-    tmp = tempfile.mkdtemp(prefix="jsonl_log_")
+_UA = "SubdomainCrawler/2.0"  # reference default (cli/config.go:30)
+
+
+def _write_single(df, path: str, keep_nulls: bool = False) -> None:
+    tmp = tempfile.mkdtemp(prefix="jsonl_export_")
     try:
-        order = [c for c in ("round", "host", "proto") if c in log.columns]
-        log.orderBy(*order).coalesce(1).write.mode("overwrite").json(tmp)
+        w = df.coalesce(1).write.mode("overwrite")
+        if keep_nulls:  # Go encodes nil pointers as explicit null
+            w = w.option("ignoreNullFields", "false")
+        w.json(tmp)
         part = sorted(glob.glob(os.path.join(tmp, "part-*")))
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         if part:
             shutil.move(part[0], path)
-        else:
+        else:  # zero-row result set still produces a valid (empty) file
             open(path, "w").close()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def export_http_jsonl(http_log: DataFrame, path: str,
+                      corpus: DataFrame | None = None) -> None:
+    """S3 — full ``HTTPMessage`` transcript (entity/log.go:4-27): one JSONL
+    line per attempt, ``{"request": {...}, "response": null|{...}}`` with
+    the reference's field order, UA header map, and explicit null response
+    on failed attempts (artifact http.jsonl line 1).
+
+    The engine's internal http_log is flat (round, host, proto, url,
+    status_code, error) — transcript detail the offline corpus model never
+    had (HTTP version, headers, body) is synthesized deterministically:
+    proto 'HTTP/1.1', the UA request header, and — when ``corpus`` is given —
+    the caption as the response body (the corpus IS the web here)."""
+    h = http_log
+    if corpus is not None:
+        body_src = corpus.select("host", F.col("caption").alias("_body"))
+        h = h.join(body_src, "host", "left")
+    else:
+        h = h.withColumn("_body", F.lit(None).cast("string"))
+    responded = F.col("status_code").isNotNull()
+    request = F.struct(
+        F.lit("GET").alias("method"),
+        F.col("url").alias("url"),
+        F.lit("HTTP/1.1").alias("proto"),
+        F.create_map(F.lit("User-Agent"), F.lit(_UA)).alias("header"),
+        F.lit("").alias("body"),
+        F.lit(0).cast("long").alias("content_length"),
+    )
+    body = F.coalesce(F.col("_body"), F.lit(""))
+    response = F.when(responded, F.struct(
+        F.lit("HTTP/1.1").alias("proto"),
+        F.col("status_code").alias("status_code"),
+        _status_line_expr(F.col("status_code")).alias("status"),
+        F.create_map().cast("map<string,string>").alias("header"),
+        body.alias("body"),
+        F.length(body).cast("long").alias("content_length"),
+    ))
+    out = (h.select("round", "host", "proto",
+                    request.alias("request"), response.alias("response"))
+            .orderBy("round", "host", "proto")
+            .select("request", "response"))
+    _write_single(out, path, keep_nulls=True)
+
+
+def export_dns_jsonl(dns_log: DataFrame, path: str) -> None:
+    """S4 — full ``DNSMessage`` transcript (entity/log.go:30-65): question /
+    answer RR structs, failover server, rcode; ``response`` null + error set
+    only on total resolver failure (rcode=-1 sentinel, resolver.go:84-97).
+
+    Synthesized deterministically from the flat (round, host, ips, rcode)
+    table: id = xxhash64(host) mod 2^16, qtype A/IN, fixed TTL 300, rtt 0
+    (artifact dns.jsonl line 1 also shows rtt 0)."""
+    responded = F.col("rcode") >= 0
+    qname = F.concat(F.col("host"), F.lit("."))
+    question = F.array(F.struct(
+        qname.alias("name"), F.lit("A").alias("qtype"),
+        F.lit("IN").alias("qclass")))
+    rr = lambda ip: F.struct(
+        qname.alias("name"), F.lit("A").alias("type"), F.lit("IN").alias("class"),
+        F.lit(300).cast("long").alias("ttl"), ip.alias("data"))
+    reqid = F.pmod(F.xxhash64("host"), F.lit(65536))
+    detail = lambda is_resp, answer: F.struct(
+        reqid.alias("id"), F.lit(is_resp).alias("response"),
+        F.lit(0).alias("opcode"),
+        (F.col("rcode") if is_resp else F.lit(0)).alias("rcode"),
+        question.alias("question"), answer.alias("answer"),
+        F.array().cast("array<struct<name:string,type:string,class:string,ttl:bigint,data:string>>").alias("authority"),
+        F.array().cast("array<struct<name:string,type:string,class:string,ttl:bigint,data:string>>").alias("extra"),
+    )
+    empty_rrs = F.array().cast(
+        "array<struct<name:string,type:string,class:string,ttl:bigint,data:string>>")
+    answers = F.transform(F.col("ips"), lambda ip: rr(ip))
+    out = (dns_log.select(
+        "round",
+        F.col("host").alias("domain"),
+        F.when(responded, F.lit("8.8.8.8:53")).otherwise(F.lit("")).alias("server"),
+        detail(False, empty_rrs).alias("request"),
+        F.when(responded, detail(True, answers)).alias("response"),
+        F.lit(0).cast("long").alias("rtt"),
+        F.when(responded, F.lit(""))
+         .otherwise(F.lit("no response from any DNS server")).alias("error"))
+        .orderBy("round", "domain")
+        .select("domain", "server", "request", "response", "rtt", "error"))
+    _write_single(out, path, keep_nulls=True)
+
+
+def _status_line_expr(code_col):
+    from ..plans.crawl import _status_expr
+
+    return _status_expr(code_col)
 
 
 def export_results_jsonl(results: DataFrame, path: str,

@@ -95,17 +95,57 @@ def test_result_jsonl_schema_and_order(cli_run):
         assert r["status"].startswith(f"{r['status_code']} ")
 
 
-def test_log_jsonl_exports(cli_run):
+def test_http_jsonl_transcript(cli_run):
+    """HTTPMessage fidelity (entity/log.go:4-27, artifact http.jsonl):
+    request struct with method/url/proto/UA-header/body/content_length;
+    response an explicit null on failed attempts, full struct on responses."""
     http = [json.loads(x) for x in
             (cli_run / "http.jsonl").read_text().splitlines()]
+    assert http
+    for r in http:
+        assert set(r.keys()) == {"request", "response"}
+        req = r["request"]
+        assert list(req.keys()) == ["method", "url", "proto", "header",
+                                    "body", "content_length"]
+        assert req["method"] == "GET" and req["proto"] == "HTTP/1.1"
+        assert req["header"] == {"User-Agent": "SubdomainCrawler/2.0"}
+        assert req["url"].startswith(("https://", "http://"))
+    failed = [r for r in http if r["response"] is None]
+    ok = [r for r in http if r["response"] is not None]
+    assert failed and ok
+    for r in ok:
+        resp = r["response"]
+        assert list(resp.keys()) == ["proto", "status_code", "status",
+                                     "header", "body", "content_length"]
+        assert resp["status"].startswith(f"{resp['status_code']} ")
+        assert resp["content_length"] == len(resp["body"])
+
+
+def test_dns_jsonl_transcript(cli_run):
+    """DNSMessage fidelity (entity/log.go:30-65, artifact dns.jsonl):
+    question/answer RR structs; response null + error only on total
+    resolver failure; A answers match the ips."""
     dns = [json.loads(x) for x in
            (cli_run / "dns.jsonl").read_text().splitlines()]
-    assert http and dns
-    # failed attempts present with error, without status_code (omitempty)
-    failed = [r for r in http if "error" in r]
-    assert failed and all("status_code" not in r for r in failed)
-    assert all(r["url"].startswith(("https://", "http://")) for r in http)
-    assert all("rcode" in r for r in dns)
+    assert dns
+    for r in dns:
+        assert list(r.keys()) == ["domain", "server", "request", "response",
+                                  "rtt", "error"]
+        q = r["request"]["question"]
+        assert q == [{"name": r["domain"] + ".", "qtype": "A", "qclass": "IN"}]
+        assert r["request"]["response"] is False
+        if r["response"] is None:  # total failure (resolver.go:84-97)
+            assert r["error"] == "no response from any DNS server"
+            assert r["server"] == ""
+        else:
+            assert r["error"] == "" and r["server"] == "8.8.8.8:53"
+            assert r["response"]["response"] is True
+            ips = [a["data"] for a in r["response"]["answer"]]
+            assert all(a["type"] == "A" for a in r["response"]["answer"])
+            if r["response"]["rcode"] != 0:
+                assert ips == []
+    assert any(r["response"] is None for r in dns)
+    assert any(r["response"] and r["response"]["answer"] for r in dns)
 
 
 def test_cli_resume_noop(cli_run, fixture_web):

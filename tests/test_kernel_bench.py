@@ -1,0 +1,63 @@
+"""Kernel throughput floors — the vectorized batch hashes must stay
+C-speed (no per-byte/per-shingle Python regressions).
+
+These are coarse wall-clock floors rather than pytest-benchmark
+micro-timings so the suite stays fast; the bounds are ~10× looser than
+measured steady-state (fingerprint64 ~0.12 s, simhash ~0.45 s, minhash
+~2 s per 5k docs on this box) to stay robust against shared-host noise,
+while still failing loudly if a per-row Python loop sneaks back in
+(the pre-vectorization kernels were 20–100× over these floors).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from subdomain_crawler_spark.functions import text
+from subdomain_crawler_spark.operators.seen import fnv64
+
+N_DOCS = 2000
+WORDS = ["data", "spark", "crawl", "index", "mirror", "archive", "research",
+         "dataset", "paper", "compute"]
+
+
+@pytest.fixture(scope="module")
+def docs() -> pd.Series:
+    rng = np.random.RandomState(11)
+    return pd.Series([" ".join(rng.choice(WORDS, size=60))
+                      for _ in range(N_DOCS)])
+
+
+def _best_of(fn, n=3) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.monotonic()
+        fn()
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
+def test_fingerprint64_throughput(docs):
+    sec = _best_of(lambda: text.fingerprint64(docs))
+    assert sec < 1.0, f"fingerprint64: {sec:.2f}s for {N_DOCS} docs"
+
+
+def test_simhash_throughput(docs):
+    sec = _best_of(lambda: text.simhash64_batch(docs))
+    assert sec < 2.0, f"simhash64_batch: {sec:.2f}s for {N_DOCS} docs"
+
+
+def test_minhash_throughput(docs):
+    sec = _best_of(lambda: text.minhash_signatures(docs))
+    assert sec < 5.0, f"minhash_signatures: {sec:.2f}s for {N_DOCS} docs"
+
+
+def test_fnv64_throughput():
+    hosts = pd.Series([f"sub{i}.www{i % 7}.example{i % 100}.com"
+                       for i in range(50_000)])
+    sec = _best_of(lambda: fnv64(hosts))
+    assert sec < 1.5, f"fnv64: {sec:.2f}s for 50k hosts"

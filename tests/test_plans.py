@@ -65,6 +65,37 @@ def test_q1_map_side_partial_aggregate(spark):
     assert p.count("Exchange") <= 2  # one shuffle (+AQE reuse marker at most)
 
 
+def test_dedup_frontier_partial_aggregate(spark):
+    """Frontier dedup is a groupBy+min-struct (map-side combine collapses a
+    hot host's duplicates before the shuffle), not a window row_number
+    (which would ship every duplicate to one task)."""
+    from subdomain_crawler_spark.plans.crawl import CrawlEngine
+
+    df = spark.createDataFrame(
+        [("a.com", "a.com", 1), ("a.com", "a.com", 2)],
+        "host string, root string, depth int")
+    p = plan(CrawlEngine._dedup_frontier(df))
+    # struct-min lowers to SortAggregate; partial_min = map-side combine
+    assert "partial_min" in p
+    assert "Window" not in p
+
+
+def test_politeness_robots_join_broadcasts(spark, fixture_web):
+    """The robots table joins broadcast (tiny dim vs 10^10-row frontier)."""
+    from subdomain_crawler_spark.config import CrawlConfig
+    from subdomain_crawler_spark.operators.politeness import apply_budgets
+
+    base = fixture_web["base"]
+    frontier = spark.createDataFrame(
+        [("www.a.com", "a.com", 0)], "host string, root string, depth int")
+    robots = spark.read.parquet(f"{base}/robots.parquet")
+    scheduled, deferred = apply_budgets(
+        frontier, robots, CrawlConfig(honor_robots=True))
+    p = plan(scheduled)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
 def test_crawl_fetch_join_broadcasts_frontier(spark, fixture_web, tmp_path):
     """The fetch-join must broadcast the frontier side and stream the corpus
     (a dropped hint here silently shuffles the 100 TB side — regression

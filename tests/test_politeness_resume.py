@@ -97,6 +97,32 @@ def test_budget_respected_per_round(polite_pair, fixture_web):
         assert len(hosts) <= 2, f"round {r}: {sorted(hosts)}"
 
 
+def test_robots_disallow_blocks_hosts(polite_pair, fixture_web):
+    """The hot root disallows host-prefix 'cdn.': no cdn.* host under it is
+    ever fetched (no http_log rows), while its PATH rule '/private' blocks
+    nothing (we only fetch '/'). Disallowed hosts exist in the corpus, so
+    the rule — not absence — is what blocks them."""
+    eng, stats, sim = polite_pair
+    hot = fixture_web["tables"]["robots"].iloc[0]["root"]
+    corpus_cdn = {h for h in fixture_web["tables"]["corpus"]["host"]
+                  if h.startswith("cdn.") and h.endswith(hot)}
+    assert corpus_cdn, "fixture must contain cdn.* hosts under the hot root"
+    for r in range(len(stats)):
+        fetched = {x.host for x in eng.io.read_round("http_log", r).collect()}
+        assert not any(h.startswith("cdn.") and h.endswith("." + hot)
+                       for h in fetched), f"round {r}"
+
+
+def test_crawl_delay_budget(polite_pair, fixture_web):
+    """alpha.com: crawl_delay=5 with round_window_sec=60 → ≤12 hosts per
+    round even though max_per_round is 10^6."""
+    eng, stats, sim = polite_pair
+    for r in range(len(stats)):
+        hosts = {x.host for x in eng.io.read_round("http_log", r).collect()
+                 if x.host.endswith("alpha.com")}
+        assert len(hosts) <= 12, f"round {r}: {len(hosts)}"
+
+
 # ---------------------------------------------------------------------------
 # resume (M6)
 # ---------------------------------------------------------------------------
