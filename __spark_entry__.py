@@ -51,7 +51,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracles — every query except ``x2_extract_html``
-    (urllib.parse semantics, no DuckDB equivalent; pinned by unit tests
-    porting the reference's own cases instead)."""
+    """DuckDB-runnable oracles for EVERY query in ``queries()`` — the
+    seeded-sketch kernels (fingerprint/minhash/simhash/LSH bands) were
+    designed SQL-portable (polynomial folds mod Mersenne primes, md5 band
+    hashing) so even they get exact value-hash checks."""
     return dq.oracles()

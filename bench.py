@@ -186,9 +186,11 @@ def scaling() -> None:
     hpr = int(os.environ.get("SPARK_GRAFT_SCALING_HPR", "24"))
     bloat = int(os.environ.get("SPARK_GRAFT_SCALING_BLOAT", "500"))
     trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+    levels = tuple(int(x) for x in os.environ.get(
+        "SPARK_GRAFT_SCALING_LEVELS", "2,8,32").split(","))
     scaling_web_dir(n_roots, hpr, bloat)  # pre-generate once (pyarrow-only)
     results = {}
-    for cpus in (2, 8, 32):
+    for cpus in levels:
         walls, out = [], None
         for _ in range(trials):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
@@ -209,12 +211,13 @@ def scaling() -> None:
     r = results
     report = {
         "corpus": f"{n_roots} roots x {hpr} hosts, {bloat}-word captions",
-        "local2": r[2], "local8": r[8], "local32": r[32],
-        "eff_2_to_8": round(r[8]["urls_per_sec_best"]
-                            / r[2]["urls_per_sec_best"] / 4, 3),
-        "eff_8_to_32": round(r[32]["urls_per_sec_best"]
-                             / r[8]["urls_per_sec_best"] / 4, 3),
+        **{f"local{c}": r[c] for c in levels},
     }
+    for a in levels:
+        if a * 4 in r:  # every N → 4N pair measured
+            report[f"eff_{a}_to_{a*4}"] = round(
+                r[a * 4]["urls_per_sec_best"]
+                / r[a]["urls_per_sec_best"] / 4, 3)
     print(json.dumps(report, indent=2))
 
 

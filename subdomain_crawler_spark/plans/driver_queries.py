@@ -663,8 +663,16 @@ WHERE round(list_inner_product(x.embedding, y.embedding) /
 
 def q_x2_extract_html(spark, sf_dir):
     """X2 — HTML-aware extraction (domain_service.go:156-195; dead code in
-    the reference's main path, parity-kept). href/src URL parsing via
-    urllib — not SQL-portable → rows-only check."""
+    the reference's main path, parity-kept): href host via url.Parse,
+    proto-relative src, interleaved text-node X1 extraction, in document
+    order. The general urlparse semantics are pinned by unit tests porting
+    the reference's own cases (domain_service_test.go:311-337); the DuckDB
+    oracle checks the UDF output on this synthetic input family, whose
+    expected hosts are a closed form of (source, lang) — verified
+    assumptions: doc text carries no '.'/'<' (no stray extractions), and
+    '/path/2f2f.example.com' sits in a TEXT node, so X1 legitimately finds
+    '2f2f.example.com' inside it (the path-lookalike rejection applies to
+    href/src attrs only)."""
     d = _docs_wide(spark, sf_dir)
     html = F.concat(F.lit('<a href="http://link-'), "source",
                     F.lit('.example.com/x">'), F.substring("text", 1, 40),
@@ -676,6 +684,14 @@ def q_x2_extract_html(spark, sf_dir):
     return d.select(
         "doc_id",
         F.array_join(udfs.udf_extract_hosts_html("html"), "|").alias("hosts"))
+
+
+SQL_X2 = """
+SELECT doc_id,
+  'link-' || source || '.example.com|img-' || lang ||
+  '.example.org|text-' || source || '.example.net|2f2f.example.com' AS hosts
+FROM documents
+"""
 
 
 # -- sketch ops: Arrow-UDF kernels on the Spark side, exact DuckDB twins -----
@@ -903,9 +919,7 @@ def oracles() -> dict[str, str]:
         "minhash_signature": _sql_minhash(),
         "simhash64": _sql_simhash(),
         "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
-        # x2_extract_html is the ONLY remaining rows-only query: its
-        # href/src extraction runs urllib.parse.urlparse (RFC 3986 netloc
-        # rules — scheme-relative '//h', userinfo, ports), which has no
-        # DuckDB equivalent; semantics are pinned by tests/test_core.py
-        # porting the reference's own cases (domain_service_test.go:311-337).
+        # x2: closed-form oracle for the synthetic input family (general
+        # urlparse semantics pinned by unit tests — see q_x2_extract_html)
+        "x2_extract_html": SQL_X2,
     }
