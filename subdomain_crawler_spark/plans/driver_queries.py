@@ -188,6 +188,44 @@ FROM documents
 """
 
 
+def q_x5_root(spark, sf_dir):
+    """X5 — eTLD+1 via the vendored PSL trie (domain_service.go:103-106,
+    functions/psl.py), exercised over synthetic hosts covering the rule
+    classes: plain TLD (.com), multi-label suffix (edu.cn), wildcard (*.ck)
+    with exception (!www.ck), and the default-* unknown-TLD rule. The
+    DuckDB oracle states each class's closed-form answer — general PSL
+    semantics are pinned by unit tests porting the reference's cases
+    (domain_service_test.go:85-95)."""
+    d = _t(spark, sf_dir, "documents")
+    host = (F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit("a."), "source", F.lit(".example.com")))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.concat("source", F.lit(".tsinghua.edu.cn")))
+            .when(F.col("doc_id") % 4 == 2,
+                  F.concat(F.lit("x."), "source", F.lit(".site.ck")))
+            .otherwise(F.concat("source", F.lit(".bar.unknowntld"))))
+    d = d.select("doc_id", host.alias("host"))
+    return d.select("doc_id", "host", udfs.udf_get_root("host").alias("root"))
+
+
+SQL_X5 = """
+SELECT doc_id, host,
+  CASE WHEN doc_id % 4 = 0 THEN 'example.com'            -- rule: com
+       WHEN doc_id % 4 = 1 THEN 'tsinghua.edu.cn'        -- rule: edu.cn
+       WHEN doc_id % 4 = 2 THEN source || '.site.ck'     -- wildcard *.ck:
+            -- suffix = <label>.ck, so eTLD+1 = source.site.ck for host
+            -- x.<source>.site.ck  (site.ck is the suffix match)
+       ELSE 'bar.unknowntld'                             -- default '*' rule
+  END AS root
+FROM (SELECT doc_id, source,
+             CASE WHEN doc_id % 4 = 0 THEN 'a.' || source || '.example.com'
+                  WHEN doc_id % 4 = 1 THEN source || '.tsinghua.edu.cn'
+                  WHEN doc_id % 4 = 2 THEN 'x.' || source || '.site.ck'
+                  ELSE source || '.bar.unknowntld' END AS host
+      FROM documents)
+"""
+
+
 def q_x4_expand(spark, sf_dir):
     """X4 — SLD fan-out with the reference's 133-prefix list
     (expander.go:11-131); one SLD per distinct source."""
@@ -863,6 +901,7 @@ QUERIES = {
     "x3_title": q_x3_title,
     "x1_extract": q_x1_extract,
     "x4_expand": q_x4_expand,
+    "x5_root": q_x5_root,
     "w1_first_success": q_w1_first_success,
     "d1_anti_join": q_d1_anti_join,
     "j3_semi_join": q_j3_semi_join,
@@ -897,6 +936,7 @@ def oracles() -> dict[str, str]:
         "x3_title": SQL_X3,
         "x1_extract": SQL_X1,
         "x4_expand": _sql_x4(),
+        "x5_root": SQL_X5,
         "w1_first_success": SQL_W1,
         "d1_anti_join": SQL_D1,
         "j3_semi_join": SQL_J3,
