@@ -126,6 +126,44 @@ def udf_extract_hosts_html(htmls: pd.Series) -> pd.Series:
 
 # --- image UDFs (north-rule payload path) -----------------------------------
 
+_IMG_PIPE_TYPE = StructType([
+    StructField("fmt", StringType()),
+    StructField("phash", LongType()),
+    StructField("pixels_ok", BooleanType()),
+])
+
+
+@F.pandas_udf(_IMG_PIPE_TYPE)
+def udf_img_pipeline(doc_ids: pd.Series) -> pd.DataFrame:
+    """Full multimodal plumbing in one Arrow batch: synthesize a
+    deterministic 16×16 gradient image per row (orientation = doc_id % 4),
+    encode with a real codec (raw for even ids, lossy-BMP for odd), decode,
+    validate the roundtrip (exact / PSNR≥40 per input_hint), and compute the
+    average-hash. The gradients use 16-step values, so the expected phash
+    per orientation has a closed form (half-plane bit patterns) checkable
+    by the DuckDB oracle, and 6-bit quantization cannot flip any bit."""
+    import numpy as np
+
+    from . import image
+
+    g = np.arange(16, dtype=np.uint8) * 16
+    grays = [np.repeat(g, 16).reshape(16, 16),
+             np.repeat(g[::-1], 16).reshape(16, 16),
+             np.tile(g, 16).reshape(16, 16),
+             np.tile(g[::-1], 16).reshape(16, 16)]
+    fmts, phs, oks = [], [], []
+    for did in doc_ids.to_numpy():
+        did = int(did)
+        img = np.stack([grays[did % 4]] * 3, axis=2)
+        fmt = "raw" if did % 2 == 0 else "lossy"
+        dec = image.decode_image(image.encode_image(img, fmt), fmt)
+        ok = (bool(np.array_equal(dec, img)) if fmt == "raw"
+              else image.psnr(dec, img) >= 40.0)
+        fmts.append(fmt)
+        phs.append(image.average_hash(dec))
+        oks.append(ok)
+    return pd.DataFrame({"fmt": fmts, "phash": phs, "pixels_ok": oks})
+
 
 @F.pandas_udf(LongType())
 def udf_phash(byts: pd.Series, fmts: pd.Series) -> pd.Series:

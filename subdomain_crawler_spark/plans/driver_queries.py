@@ -732,6 +732,33 @@ FROM documents
 """
 
 
+def q_img_pipeline(spark, sf_dir):
+    """Multimodal binary-column pipeline (north-rule payload path,
+    functions/image.py): per-row synthetic gradient image → real codec
+    encode/decode (raw | lossy BMP) → roundtrip validation (exact /
+    PSNR≥40 dB per BASELINE.json input_hint) → average-hash. The oracle
+    states the analytically-derived half-plane phash per orientation
+    (verified equal to the kernel's output; derivation in the UDF
+    docstring)."""
+    d = _docs_wide(spark, sf_dir).select("doc_id")
+    r = d.select("doc_id", udfs.udf_img_pipeline("doc_id").alias("p"))
+    return r.select("doc_id", F.col("p.fmt").alias("fmt"),
+                    F.col("p.phash").alias("phash"),
+                    F.col("p.pixels_ok").alias("pixels_ok"))
+
+
+SQL_IMG_PIPELINE = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'raw' ELSE 'lossy' END AS fmt,
+  (CASE WHEN doc_id % 4 = 0 THEN 4294967295            -- rows 4-7 set
+        WHEN doc_id % 4 = 1 THEN -4294967296           -- rows 0-3 set
+        WHEN doc_id % 4 = 2 THEN 1085102592571150095   -- cols 4-7 (0x0F..)
+        ELSE -1085102592571150096 END)::BIGINT AS phash -- cols 0-3 (0xF0..)
+  , true AS pixels_ok
+FROM documents
+"""
+
+
 # -- sketch ops: Arrow-UDF kernels on the Spark side, exact DuckDB twins -----
 # The kernels (functions/text.py) were designed SQL-portable: polynomial
 # folds mod Mersenne primes that DuckDB reproduces bit-for-bit with
@@ -921,6 +948,7 @@ QUERIES = {
     "props_json": q_props_json,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
     "x2_extract_html": q_x2_extract_html,
+    "img_pipeline": q_img_pipeline,
     "fingerprint64": q_fingerprint64,
     "minhash_signature": q_minhash_signature,
     "simhash64": q_simhash64,
@@ -962,4 +990,5 @@ def oracles() -> dict[str, str]:
         # x2: closed-form oracle for the synthetic input family (general
         # urlparse semantics pinned by unit tests — see q_x2_extract_html)
         "x2_extract_html": SQL_X2,
+        "img_pipeline": SQL_IMG_PIPELINE,
     }
