@@ -40,7 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, BooleanType, IntegerType, StringType, StructField, StructType,
+    BooleanType, IntegerType, StringType, StructField, StructType,
 )
 
 from ..config import CrawlConfig

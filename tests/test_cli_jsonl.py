@@ -148,6 +148,29 @@ def test_dns_jsonl_transcript(cli_run):
     assert any(r["response"] and r["response"]["answer"] for r in dns)
 
 
+def test_jsonl_distributed_mode_and_empty(spark, tmp_path):
+    """single_file=False keeps a distributed .json directory (the at-scale
+    export path); a zero-row table still yields a valid empty file."""
+    from pyspark.sql import functions as F
+    from subdomain_crawler_spark.sources import jsonl
+
+    df = spark.createDataFrame(
+        [(0, "a.com", ["1.2.3.4"], ["x.a.com"], "200 OK", 200, "t", 5, None)],
+        "round int, domain string, ips array<string>, subdomains array<string>,"
+        "status string, status_code int, title string, content_length int,"
+        "error string")
+    out_dir = str(tmp_path / "dist")
+    jsonl.export_results_jsonl(df, out_dir, epoch=1700000000,
+                               single_file=False)
+    back = spark.read.json(out_dir)
+    assert back.count() == 1 and "timestamp" in back.columns
+
+    empty = df.filter(F.lit(False))
+    p = tmp_path / "empty.jsonl"
+    jsonl.export_results_jsonl(empty, str(p), epoch=0)
+    assert p.read_text() == ""
+
+
 def test_cli_resume_noop(cli_run, fixture_web):
     """--resume on a completed workdir runs zero new rounds and leaves the
     committed round unchanged."""
