@@ -80,10 +80,13 @@ def apply_budgets(
                   .drop("disallow_prefixes"))
         budget = F.col("max_per_round")
         if has_delay:
+            # clamp to ≥1: a crawl_delay longer than the round window must
+            # still schedule one host per round, else the row defers forever
             delay_budget = F.when(
                 F.col("crawl_delay") > 0,
-                F.floor(F.lit(cfg.round_window_sec)
-                        / F.col("crawl_delay")).cast("int"))
+                F.greatest(F.lit(1),
+                           F.floor(F.lit(cfg.round_window_sec)
+                                   / F.col("crawl_delay"))).cast("int"))
             budget = F.least(budget, delay_budget)  # least skips nulls
             f = f.withColumn("_budget", budget).drop("crawl_delay")
         else:

@@ -124,7 +124,8 @@ class ReferenceSimulator:
                         cands.append(int(mpr))
                     delay = getattr(r, "crawl_delay", None)
                     if delay is not None and int(delay) > 0:
-                        cands.append(cfg.round_window_sec // int(delay))
+                        # ≥1: over-long delays still schedule one host/round
+                        cands.append(max(1, cfg.round_window_sec // int(delay)))
                     self.budgets[r.root] = (
                         prefixes, min(cands) if cands else None)
 

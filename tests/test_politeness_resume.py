@@ -113,6 +113,25 @@ def test_robots_disallow_blocks_hosts(polite_pair, fixture_web):
                        for h in fetched), f"round {r}"
 
 
+def test_crawl_delay_longer_than_window_still_schedules(spark):
+    """crawl_delay > round_window_sec clamps to budget 1 (not 0): rows must
+    not defer forever."""
+    from subdomain_crawler_spark.config import CrawlConfig
+    from subdomain_crawler_spark.operators.politeness import apply_budgets
+
+    frontier = spark.createDataFrame(
+        [(f"h{i}.slow.com", "slow.com", 0) for i in range(4)],
+        "host string, root string, depth int")
+    robots = spark.createDataFrame(
+        [("slow.com", [], 3600, 1000)],
+        "root string, disallow_prefixes array<string>, crawl_delay int,"
+        "max_per_round int")
+    scheduled, deferred = apply_budgets(
+        frontier, robots, CrawlConfig(honor_robots=True, round_window_sec=60))
+    assert scheduled.count() == 1
+    assert deferred.count() == 3
+
+
 def test_crawl_delay_budget(polite_pair, fixture_web):
     """alpha.com: crawl_delay=5 with round_window_sec=60 → ≤12 hosts per
     round even though max_per_round is 10^6."""
