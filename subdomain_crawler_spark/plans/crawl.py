@@ -478,18 +478,30 @@ class CrawlEngine:
                 print(f"    [r{rnd}]   write {table}: "
                       f"{time.monotonic() - w0:.1f}s", flush=True)
 
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        # Wave 2a: the two writes that FIRST-TOUCH the remaining caches
+        # (seen → winner, dns_log → dns_j) run together — disjoint lineage,
+        # no lock overlap. Wave 2b's writes then scan fully-cached data.
+        # Rationale: letting all five race (one big pool) makes tasks of the
+        # late jobs block on the cache locks of partitions the early jobs
+        # are computing — blocked tasks HOLD task slots, and at high core
+        # counts the convoy effect dominates (measured on the 9.5M-URL
+        # corpus at local[32]: 359 s all-concurrent vs 233 s serialized;
+        # this staged form keeps the concurrency that is actually parallel).
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for w in [pool.submit(_timed_append, "seen", shrink(novel_df), rnd),
+                      pool.submit(_timed_append, "dns_log", shrink(dns_log), rnd)]:
+                w.result()
+        _mark("wave2a seen+dns_log")
+        with ThreadPoolExecutor(max_workers=3) as pool:
             writes = [
                 pool.submit(_timed_append, "results", shrink(results), rnd),
                 pool.submit(_timed_append, "http_log", shrink(http_log), rnd),
-                pool.submit(_timed_append, "dns_log", shrink(dns_log), rnd),
-                pool.submit(_timed_append, "seen", shrink(novel_df), rnd),
                 pool.submit(_timed_append, "frontier", shrink(next_frontier),
                             rnd + 1),
             ]
             for w in writes:
                 w.result()
-        _mark("wave2 writes")
+        _mark("wave2b writes")
         agg = obs_j.get
         n_next = int(obs_f.get["n"])
         unique_subdomains = int(obs_novel.get["novel"] or 0)
