@@ -169,11 +169,11 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Run the SAME scaling crawl at three parallelism levels (local[2],
-    local[8], local[32] — two N→4N pairs) over identical cached input, two
-    trials each (min taken: the shared host shows ±25% wall noise); report
-    throughput + scaling efficiency (north-rule evidence — this sandbox's
-    stand-in for N vs 4N executors, per the driver instruction).
+    """N-vs-4N scaling evidence (north rule): run the SAME crawl at multiple
+    parallelism levels over identical cached input, trials INTERLEAVED
+    round-robin across levels — every level samples every host-noise window,
+    so a quiet hour cannot flatter one level (round-2 review asked for
+    paired trials; min AND median are reported per level).
 
     Each trial runs in a FRESH subprocess (own JVM + Python): reusing one
     Python process across spark.stop()/getOrCreate poisons later sessions
@@ -181,19 +181,20 @@ def scaling() -> None:
     thousands of broken-pipe/EOF errors and 2-10× wall inflation, observed
     on this box). Separate processes also match the real N-vs-4N protocol:
     two independently-launched clusters."""
+    import statistics
     import subprocess
 
     n_roots = int(os.environ.get("SPARK_GRAFT_SCALING_ROOTS", "12000"))
     hpr = int(os.environ.get("SPARK_GRAFT_SCALING_HPR", "24"))
     bloat = int(os.environ.get("SPARK_GRAFT_SCALING_BLOAT", "500"))
-    trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+    trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
     levels = tuple(int(x) for x in os.environ.get(
-        "SPARK_GRAFT_SCALING_LEVELS", "2,8,32").split(","))
+        "SPARK_GRAFT_SCALING_LEVELS", "8,32").split(","))
     scaling_web_dir(n_roots, hpr, bloat)  # pre-generate once (pyarrow-only)
-    results = {}
-    for cpus in levels:
-        walls, out = [], None
-        for _ in range(trials):
+    walls: dict[int, list[float]] = {c: [] for c in levels}
+    frontier_urls = None
+    for t in range(trials):
+        for cpus in levels:  # interleaved: one trial per level per sweep
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                        SPARK_GRAFT_SCALING_ROOTS=str(n_roots),
                        SPARK_GRAFT_SCALING_HPR=str(hpr),
@@ -204,21 +205,32 @@ def scaling() -> None:
                 [sys.executable, os.path.abspath(__file__), "--scaling-one"],
                 env=env, capture_output=True, text=True, check=True)
             out = json.loads(proc.stdout.strip().splitlines()[-1])
-            walls.append(out["wall_sec"])
-        best = min(walls)
-        results[cpus] = {"walls": walls, "wall_best": best,
-                         "frontier_urls": out["frontier_urls"],
-                         "urls_per_sec_best": round(out["frontier_urls"] / best, 1)}
-    r = results
+            walls[cpus].append(out["wall_sec"])
+            frontier_urls = out["frontier_urls"]
+            print(f"  sweep {t} local[{cpus}]: {out['wall_sec']}s",
+                  file=sys.stderr, flush=True)
+    results = {}
+    for cpus in levels:
+        w = walls[cpus]
+        results[cpus] = {
+            "walls": w, "wall_min": min(w),
+            "wall_median": round(statistics.median(w), 2),
+            "frontier_urls": frontier_urls,
+            "urls_per_sec_min": round(frontier_urls / min(w), 1),
+            "urls_per_sec_median": round(
+                frontier_urls / statistics.median(w), 1),
+        }
     report = {
         "corpus": f"{n_roots} roots x {hpr} hosts, {bloat}-word captions",
-        **{f"local{c}": r[c] for c in levels},
+        "protocol": f"{trials} interleaved sweeps, fresh subprocess per trial",
+        **{f"local{c}": results[c] for c in levels},
     }
     for a in levels:
-        if a * 4 in r:  # every N → 4N pair measured
-            report[f"eff_{a}_to_{a*4}"] = round(
-                r[a * 4]["urls_per_sec_best"]
-                / r[a]["urls_per_sec_best"] / 4, 3)
+        if a * 4 in results:  # every N → 4N pair measured
+            for est in ("min", "median"):
+                report[f"eff_{a}_to_{a*4}_{est}"] = round(
+                    results[a * 4][f"urls_per_sec_{est}"]
+                    / results[a][f"urls_per_sec_{est}"] / 4, 3)
     print(json.dumps(report, indent=2))
 
 

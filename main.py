@@ -69,6 +69,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--subdomains", default=None,
                    help="comma-separated custom prefixes merged into the "
                         "expansion list (expander.go custom prefixes)")
+    p.add_argument("--max-response-size", type=int, default=10 * 1024 * 1024,
+                   help="truncate fetched bodies at this many chars before "
+                        "extraction; content_length is clamped "
+                        "[ref: MaxResponseSize 10 MiB, fetcher.go:84]")
     p.add_argument("--bloom-size", type=int, default=1_000_000,
                    help="seen-filter capacity [ref default 1e6]")
     p.add_argument("--bloom-fp", type=float, default=0.01,
@@ -102,8 +106,15 @@ def build_spark(workers: int):
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.adaptive.enabled", "true"))
-    if "SPARK_SUBMIT_MODE" not in os.environ and not os.environ.get("MASTER"):
-        # plain `python main.py` — local master sized by --workers
+    # Under spark-submit the JVM gateway is pre-launched and exports
+    # PYSPARK_GATEWAY_PORT/SECRET into this process; the submitted
+    # --master/--conf spark.master must win. Only a plain `python main.py`
+    # run (no gateway, no spark.master in the environment) sizes a local
+    # master from --workers.
+    under_submit = ("PYSPARK_GATEWAY_PORT" in os.environ
+                    or os.environ.get("SPARK_MASTER")
+                    or os.environ.get("MASTER"))
+    if not under_submit:
         b = b.master(f"local[{workers}]")
     return b.getOrCreate(), True
 
@@ -125,6 +136,7 @@ def main(argv: list[str] | None = None) -> int:
         custom_prefixes=custom,
         bloom_capacity=args.bloom_size,
         bloom_fp=args.bloom_fp,
+        max_response_size=args.max_response_size,
     )
     engine = CrawlEngine(spark, cfg, args.workdir, corpus, dns, robots=robots)
 

@@ -19,6 +19,14 @@ class CrawlConfig:
     expand_sld: bool = True
     custom_prefixes: tuple[str, ...] = ()
 
+    # T1 — response-size cap (fetcher.go:84 io.LimitReader; default 10 MiB,
+    # cli/config.go:29): bodies are truncated BEFORE extraction and
+    # content_length is clamped, so one hostile 1 GB row cannot dominate an
+    # executor. Measured in characters here (the offline corpus is a string
+    # column; the reference caps bytes — identical for ASCII fixtures,
+    # documented divergence for multi-byte text).
+    max_response_size: int = 10 * 1024 * 1024
+
     # seen-set accelerator (D1b): shard count for the broadcast bloom bank;
     # each shard sized so capacity_per_shard * shards covers the frontier
     bloom_shards: int = 8

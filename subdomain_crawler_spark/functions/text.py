@@ -113,16 +113,42 @@ def _fp61_horner_step(h: np.ndarray, byte_col: np.ndarray) -> np.ndarray:
     return np.where(s >= M, s - M, s)
 
 
-def fp61_batch(strs: list[bytes]) -> np.ndarray:
-    """Polynomial hash h = Σ byte_i · B^(n-1-i) mod 2^61-1 for a batch of
-    byte-strings — identical values to ``fingerprint64_one``, computed in
-    O(maxlen) vectorized passes (no per-byte Python)."""
+def _fp61_padded(strs: list[bytes]) -> np.ndarray:
+    """Dense-matrix Horner over a batch of SIMILAR-LENGTH byte-strings."""
     mat, lens = padded_bytes(strs)
     h = np.zeros(len(strs), dtype=np.uint64)
     for j in range(mat.shape[1]):
         active = lens > j
         h[active] = _fp61_horner_step(h[active], mat[active, j].astype(np.uint64))
     return h
+
+
+def fp61_batch(strs: list[bytes]) -> np.ndarray:
+    """Polynomial hash h = Σ byte_i · B^(n-1-i) mod 2^61-1 for a batch of
+    byte-strings — identical values to ``fingerprint64_one``, no per-byte
+    Python.
+
+    Length-skew safe: strings are processed in geometric length buckets
+    (bucket maxlen < 2 × bucket minlen), so the padded matrix wastes < 2×
+    and total memory/work stay O(total bytes). A single 1 MB document among
+    10k short rows costs ~2 MB, not an (n × 1 MB) dense matrix — the
+    naive single-matrix layout could allocate ~10 GB per Arrow batch on a
+    length-skewed corpus."""
+    n = len(strs)
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
+    out = np.zeros(n, dtype=np.uint64)
+    nz = np.flatnonzero(lens)
+    if not len(nz):
+        return out
+    order = nz[np.argsort(lens[nz], kind="stable")]
+    slens = lens[order]
+    start = 0
+    while start < len(order):
+        stop = int(np.searchsorted(slens, slens[start] * 2, side="left"))
+        idx = order[start:stop]
+        out[idx] = _fp61_padded([strs[i] for i in idx])
+        start = stop
+    return out
 
 
 def fingerprint64(texts: pd.Series) -> pd.Series:
@@ -188,32 +214,45 @@ def minhash_signature_one(shingles: list[str], num_hashes: int = 64, seed: int =
     return [int(v) for v in grid.min(axis=1)]
 
 
+def _shingle_hash31_batch(shingles: list[bytes]) -> np.ndarray:
+    """Vectorized twin of ``shingle_hash31_one`` for a batch of SHORT
+    byte-strings (k-codepoint shingles ≤ 4k bytes — the padded matrix is
+    tiny). h < 2^31 keeps h·257 + byte < 2^40, exact in uint64."""
+    mat, lens = padded_bytes(shingles)
+    P, B = np.uint64(_MINHASH_P), np.uint64(_SH_BASE)
+    h = np.zeros(len(shingles), dtype=np.uint64)
+    for j in range(mat.shape[1]):
+        active = lens > j
+        h[active] = (h[active] * B + mat[active, j].astype(np.uint64)) % P
+    return h
+
+
 def minhash_signatures(texts: pd.Series, num_hashes: int = 64,
                        seed: int = 42) -> pd.Series:
-    """Batch MinHash over 5-byte shingles of the whitespace-collapsed text.
+    """Batch MinHash over 5-CODEPOINT shingles of the whitespace-collapsed
+    text — matches ``minhash_signature_one(char_shingles_one(t))`` exactly,
+    including non-ASCII text (the round-2 byte-window kernel diverged on
+    multi-byte codepoints; tests/test_text.py pins parity on héllo/日本語).
 
-    Fully vectorized: the batch's documents are concatenated into one flat
-    byte buffer, every 5-byte sliding window is hashed in K passes
-    (windows that cross document boundaries are masked out), and each of the
-    64 affine permutations reduces per-document with minimum.reduceat —
-    no per-shingle Python. Matches ``minhash_signature_one`` exactly.
+    Vectorization: pure-ASCII documents (bytes == codepoints — the common
+    web-text case) go through the flat sliding-byte-window kernel: one
+    concatenated buffer, k shifted 1-D passes, per-document minima via
+    minimum.reduceat. Non-ASCII and sub-k documents take the general path:
+    codepoint-window shingles hashed in one small padded-matrix pass, then
+    the same reduceat minima — per-document Python is O(#shingles) slices,
+    only on the non-ASCII fraction of the batch.
     """
     k = _SHINGLE_K
     P = np.uint64(_MINHASH_P)
     a, b = _minhash_coeffs(num_hashes, seed)
-    enc = [" ".join(t.split()).encode("utf-8")
-           for t in texts.fillna("").to_numpy()]
+    collapsed = [" ".join(t.split()) for t in texts.fillna("").to_numpy()]
+    enc = [c.encode("utf-8") for c in collapsed]
     n = len(enc)
-    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
+    nchars = np.fromiter((len(c) for c in collapsed), dtype=np.int64, count=n)
+    nbytes = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
     out = np.full((n, num_hashes), int(_MINHASH_P), dtype=np.int64)
 
-    # short docs (0 < len < k): one shingle = the whole string
-    short = np.flatnonzero((lens > 0) & (lens < k))
-    for i in short:
-        x = np.uint64(shingle_hash31_one(enc[i].decode("utf-8")))
-        out[i] = ((a * x + b) % P).astype(np.int64)
-
-    big = np.flatnonzero(lens >= k)
+    big = np.flatnonzero((nbytes == nchars) & (nchars >= k))  # ASCII fast path
     if len(big):
         flat = np.frombuffer(b"".join(enc[i] for i in big),
                              dtype=np.uint8).astype(np.uint64)
@@ -226,7 +265,7 @@ def minhash_signatures(texts: pd.Series, num_hashes: int = 64,
             wh += np.uint64(pow(_SH_BASE, k - 1 - j, _MINHASH_P)) * flat[j:j + nw]
         wh %= P
         # valid (non-boundary-crossing) window indices per doc
-        blens = lens[big]
+        blens = nbytes[big]
         counts = blens - (k - 1)
         starts = np.concatenate(([0], np.cumsum(blens)[:-1]))
         seg0 = np.cumsum(counts) - counts
@@ -235,6 +274,24 @@ def minhash_signatures(texts: pd.Series, num_hashes: int = 64,
         for i in range(num_hashes):
             y = (a[i] * x + b[i]) % P
             out[big, i] = np.minimum.reduceat(y, seg0).astype(np.int64)
+
+    # general path: non-ASCII docs (codepoint windows) + sub-k docs (one
+    # whole-string shingle — char_shingles_one semantics)
+    rest = np.flatnonzero((nchars > 0) & ((nbytes != nchars) | (nchars < k)))
+    if len(rest):
+        sh_bytes: list[bytes] = []
+        counts = np.empty(len(rest), dtype=np.int64)
+        for pos, i in enumerate(rest):
+            t = collapsed[i]
+            sh = [t] if len(t) < k else [t[j:j + k]
+                                         for j in range(len(t) - k + 1)]
+            counts[pos] = len(sh)
+            sh_bytes.extend(s.encode("utf-8") for s in sh)
+        x = _shingle_hash31_batch(sh_bytes)
+        seg0 = np.cumsum(counts) - counts
+        for i in range(num_hashes):
+            y = (a[i] * x + b[i]) % P
+            out[rest, i] = np.minimum.reduceat(y, seg0).astype(np.int64)
     return pd.Series(list(out), index=texts.index)
 
 

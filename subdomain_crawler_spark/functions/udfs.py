@@ -17,16 +17,6 @@ from . import core, image, text
 
 
 @F.pandas_udf(StringType())
-def udf_canonicalize(s: pd.Series) -> pd.Series:
-    return core.canonicalize(s)
-
-
-@F.pandas_udf(BooleanType())
-def udf_is_valid(s: pd.Series) -> pd.Series:
-    return core.is_valid(s)
-
-
-@F.pandas_udf(StringType())
 def udf_get_root(s: pd.Series) -> pd.Series:
     return core.get_root(s)
 
@@ -39,22 +29,6 @@ def udf_get_depth(s: pd.Series) -> pd.Series:
 @F.pandas_udf(ArrayType(StringType()))
 def udf_extract_hosts(texts: pd.Series) -> pd.Series:
     return core.extract_hosts(texts)
-
-
-@F.pandas_udf(ArrayType(StringType()))
-def udf_extract_hosts_in_scope(texts: pd.Series, roots: pd.Series) -> pd.Series:
-    """X1 + F2 fused: extract then filter against the parent root — one Arrow
-    pass, mirroring worker.go:108-110 (ExtractFromText → FilterByRoot)."""
-    extracted = core.extract_hosts(texts)
-    out = []
-    for cands, root in zip(extracted.to_numpy(), roots.to_numpy()):
-        out.append([c for c in cands if c == root or c.endswith("." + root)])
-    return pd.Series(out, index=texts.index)
-
-
-@F.pandas_udf(StringType())
-def udf_extract_title(texts: pd.Series) -> pd.Series:
-    return core.extract_title(texts)
 
 
 _PAGE_FEATURES_TYPE = StructType([
@@ -86,21 +60,9 @@ def udf_is_sld(s: pd.Series) -> pd.Series:
 
 
 # --- text-analysis / sketch UDFs (training-data ops) -----------------------
-
-
-@F.pandas_udf(LongType())
-def udf_token_count(texts: pd.Series) -> pd.Series:
-    return text.token_count(texts)
-
-
-@F.pandas_udf(DoubleType())
-def udf_quality_score(texts: pd.Series) -> pd.Series:
-    return text.quality_score(texts)
-
-
-@F.pandas_udf(StringType())
-def udf_lang_id(texts: pd.Series) -> pd.Series:
-    return text.lang_id(texts)
+# NOTE: token_count / quality_score / lang_id have NO udf wrappers on purpose:
+# their production paths are pure-JVM expressions (plans/driver_queries.py);
+# the pandas kernels in functions/text.py exist as reference twins for tests.
 
 
 @F.pandas_udf(LongType())

@@ -60,7 +60,18 @@ FRONTIER_SCHEMA = StructType([
 ])
 
 # below this many frontier rows the fetch-join broadcasts the frontier side
-BROADCAST_FRONTIER_MAX = 2_000_000
+# and the round's inner joins (novel/pages) broadcast their small sides.
+# A/B-measured on the 9.5M-URL corpus: raising this to 8M (so round 0's
+# 8M-row frontier broadcasts) REGRESSES — BroadcastExchange builds are
+# driver-bound single-threaded collects, and multi-million-row broadcast
+# relations turn every write job into a driver convoy. 2M keeps broadcast
+# builds ~sub-second while still covering typical rounds; past it the
+# engine takes one shuffle-join chain (the right plan for giant rounds).
+# Env-tunable for bench A/B.
+import os as _os_mod
+
+BROADCAST_FRONTIER_MAX = int(_os_mod.environ.get(
+    "SPARK_GRAFT_BROADCAST_FRONTIER_MAX", 2_000_000))
 
 
 def _status_expr(code_col):
@@ -102,15 +113,23 @@ class CrawlEngine:
         # (bytes/row ~50); caption text streams through the extraction UDF
         # exactly once and is never cached (at 100 TB the text column IS the
         # table — caching it would be the memory/GC bottleneck)
+        # T1 response-size cap (fetcher.go:84): truncate at scan time so the
+        # cap rides INSIDE the column pruning — no full-body row ever reaches
+        # the extraction UDF, and content_length is clamped to the cap
+        cap = cfg.max_response_size
         self.corpus_meta = corpus.select(
             "host", "proto_ok", "status_code",
-            F.length("caption").alias("content_length"))
-        self.corpus_text = corpus.select("host", "caption")
+            F.least(F.length("caption"), F.lit(cap)).cast("int")
+             .alias("content_length"))
+        self.corpus_text = corpus.select(
+            "host", F.substring("caption", 1, cap).alias("caption"))
         self.dns = dns
         self.robots = robots
         self._bank: ShardedSeenFilter | None = None
         self._bank_bc = None  # this round's broadcast handle (destroyed per round)
         self._seen_total = 0  # cumulative seen-host count (gates the bank)
+        self._frontier0: DataFrame | None = None  # cached round-0 frontier
+        self._n0 = 0
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -150,7 +169,15 @@ class CrawlEngine:
                       # fallback quirk (crawl_usecase.go:239-242); depth
                       # hardcoded 0 even for expanded subdomains (:248)
                       F.lit(0).cast("int").alias("depth")))
-        self.io.append("frontier", self._dedup_frontier(df), 0)
+        # persist BEFORE the checkpoint write: the write materializes the
+        # cache and its observation carries the row count, so round 0 starts
+        # from the cached frame immediately — no recompute of the expansion
+        # lineage for the write, no read-back, no count() job.
+        f0 = self._dedup_frontier(df).persist()
+        obs = Observation()
+        self.io.append("frontier", f0.observe(obs, F.count(F.lit(1)).alias("n")), 0)
+        self._frontier0 = f0
+        self._n0 = int(obs.get["n"] or 0)
 
     def resume_round(self) -> int:
         """Next round to run: 0 on a fresh dir, committed+1 after a crash/stop."""
@@ -158,10 +185,20 @@ class CrawlEngine:
 
     def run(self, seeds: list[str] | None = None, max_rounds: int = 64,
             progress=None) -> list[RoundStats]:
+        import os as _os
+        _timing = _os.environ.get("SPARK_GRAFT_TIMING") == "1"
+
+        def _tmark(label, t0):
+            if _timing:
+                print(f"    [run] {label}: {time.monotonic() - t0:.1f}s",
+                      flush=True)
+
         rnd = self.resume_round()
         if rnd == 0:
             assert seeds is not None, "fresh run needs seeds"
+            t0 = time.monotonic()
             self.start(seeds)
+            _tmark("seed expansion + frontier0 write", t0)
         elif self.cfg.use_bloom_prefilter and self._bank is None:
             # resume: rebuild the bank from the cumulative seen table,
             # distributed (no row collect)
@@ -179,9 +216,17 @@ class CrawlEngine:
         while rnd < max_rounds:
             if not self.io.exists("frontier", rnd):
                 break
-            frontier = self.io.read_round("frontier", rnd).persist()
-            if n is None:  # fresh start / resume: one-time count
+            t0 = time.monotonic()
+            if rnd == 0 and self._frontier0 is not None:
+                # fresh start: round 0 runs off the frame the checkpoint
+                # write just materialized into the cache
+                frontier, n = self._frontier0, self._n0
+                self._frontier0 = None
+            else:
+                frontier = self.io.read_round("frontier", rnd).persist()
+            if n is None:  # resume: one-time count
                 n = frontier.count()
+                _tmark(f"frontier r{rnd} read+count", t0)
             if n == 0:
                 frontier.unpersist()
                 break
@@ -242,31 +287,40 @@ class CrawlEngine:
         # window; deferred rows carry over to the next round's frontier
         active_f, deferred = pol.apply_budgets(frontier, self.robots, cfg)
 
-        # J1 fetch-join. A naive frontier-LEFT-join-corpus cannot broadcast
-        # the frontier (Spark can't build the preserved side of an outer
-        # join — the hint is silently dropped and the 100 TB corpus side
-        # shuffles). Instead: broadcast-INNER join streaming the corpus
-        # (no corpus shuffle, parquet row groups skipped via the build-side
-        # filter), then a broadcast anti-join reconstructs the
-        # missing-from-corpus frontier rows with null fetch columns.
+        # J1 fetch-join + J2 dns-join, ONE cached frame. A naive
+        # frontier-LEFT-join-corpus cannot broadcast the frontier (Spark
+        # can't build the preserved side of an outer join — the hint is
+        # silently dropped and the 100 TB corpus side shuffles). Small
+        # rounds instead stream the corpus/dns tables through broadcast-
+        # INNER joins against the frontier (no corpus shuffle, parquet row
+        # groups skipped via the build-side filter), then LEFT-join the
+        # frontier against those frontier-sized broadcast extracts — zero
+        # frontier shuffles, missing hosts get null fetch columns for free.
+        # Giant rounds (frontier > broadcast cap) take ONE left-join chain
+        # on host: the frontier shuffles once and the second join reuses
+        # that partitioning (round 2 shipped inner+anti pairs for both
+        # corpus and dns — four frontier shuffles per round; the 8M-row
+        # round-0 wave was dominated by them).
         f = active_f
         small_round = tasks_processed <= BROADCAST_FRONTIER_MAX
         if small_round:
-            hit = self.corpus_meta.join(F.broadcast(f), "host", "inner")
-        else:  # giant round: shuffle join on host is the right plan
-            hit = self.corpus_meta.join(f, "host", "inner")
-        # missing hosts via anti-join against the corpus host COLUMN only —
-        # parquet column pruning makes this a narrow scan, and it avoids
-        # recomputing `hit` (which would re-scan the full metadata columns)
-        miss = f.join(self.corpus_meta.select("host"), "host", "left_anti")
-        miss = (miss.withColumn("proto_ok", F.lit(None).cast("array<string>"))
-                    .withColumn("status_code", F.lit(None).cast("int"))
-                    .withColumn("content_length", F.lit(None).cast("int")))
-        j = (hit.select("host", "root", "depth", "proto_ok", "status_code",
-                        "content_length")
-                .unionByName(miss.select("host", "root", "depth", "proto_ok",
-                                         "status_code", "content_length"))
-                .withColumn("active", F.col("depth") <= F.lit(cfg.max_depth)))
+            fh = F.broadcast(f.select("host"))
+            meta_small = self.corpus_meta.join(fh, "host", "inner")
+            dns_small = self.dns.join(fh, "host", "inner")
+            j = (f.join(F.broadcast(meta_small), "host", "left")
+                  .join(F.broadcast(dns_small), "host", "left"))
+        else:
+            j = (f.join(self.corpus_meta, "host", "left")
+                  .join(self.dns, "host", "left"))
+        # hosts absent from the dns table model "no response from any DNS
+        # server" (resolver.go:84-97) — rcode=-1 sentinel; only these set
+        # result.error (an NXDOMAIN RESPONSE leaves err==nil upstream,
+        # worker.go:148-151)
+        j = (j.withColumn("ips", F.coalesce(F.col("ips"),
+                                            F.array().cast("array<string>")))
+              .withColumn("rcode", F.coalesce(F.col("rcode"),
+                                              F.lit(-1)).cast("int"))
+              .withColumn("active", F.col("depth") <= F.lit(cfg.max_depth)))
 
         is2xx = (F.col("status_code") >= 200) & (F.col("status_code") < 300)
         has = lambda p: F.coalesce(F.array_contains("proto_ok", p), F.lit(False))
@@ -379,31 +433,13 @@ class CrawlEngine:
                           F.array_sort(F.collect_list(F.struct("pos", "cand"))),
                           lambda x: x.cand).alias("subdomains")))
 
-        # ---- dns (J2) + results (S2) — same broadcast-inner + anti shape as
-        # the fetch-join (the dns table is corpus-sized; missing hosts default
-        # to NXDOMAIN, resolver.go failover exhausted) ----------------------
-        active_j = j.filter("active").select(
-            "host", "fetched", "proto", "status_code", "content_length")
-        if small_round:
-            dns_hit = self.dns.join(F.broadcast(active_j), "host", "inner")
-        else:
-            dns_hit = self.dns.join(active_j, "host", "inner")
-        # hosts absent from the dns table model "no response from any DNS
-        # server" (resolver.go:84-97) — rcode=-1 sentinel; only these set
-        # result.error (an NXDOMAIN RESPONSE leaves err==nil upstream,
-        # worker.go:148-151)
-        dns_miss = active_j.join(self.dns.select("host"), "host", "left_anti")
-        dns_miss = (dns_miss
-                    .withColumn("ips", F.array().cast("array<string>"))
-                    .withColumn("rcode", F.lit(-1).cast("int")))
-        cols = ["host", "fetched", "proto", "status_code", "content_length",
-                "ips", "rcode"]
-        dns_j = (dns_hit.select(*cols).unionByName(dns_miss.select(*cols))
-                 .persist())
+        # ---- dns log (S4) + results (S2): pure projections of the cached j
+        # (the dns columns were folded into the wave-1 join — no second
+        # frontier join, no separate persist) --------------------------------
+        dns_log = (j.filter("active")
+                    .select(F.lit(rnd).alias("round"), "host", "ips", "rcode"))
 
-        dns_log = dns_j.select(F.lit(rnd).alias("round"), "host", "ips", "rcode")
-
-        results = (dns_j.filter("fetched")
+        results = (j.filter("fetched")
                    .join(bc(pages.select(F.col("host"), F.col("title"))),
                          "host", "left")
                    .join(bc(page_novel), F.col("host") == F.col("parent"), "left")
@@ -446,14 +482,13 @@ class CrawlEngine:
         next_frontier = next_frontier.observe(
             obs_f, F.count(F.lit(1)).alias("n"))
 
-        # ---- commit round: TWO job waves ----------------------------------------
+        # ---- commit round: staged job waves --------------------------------------
         # Wave 1 (one job) materializes the expensive shared lineage — the
-        # fetch-join (j) and the extraction UDF output (pages). Wave 2 runs
-        # every table write concurrently: first-touch of the remaining
-        # caches (winner, dns_j) is deduplicated per-partition by the
-        # BlockManager's block locks, and all metrics arrive via
-        # observations riding on the writes — no dedicated collect/count
-        # jobs remain in the round.
+        # fetch+dns join (j) and the extraction UDF output (pages). Wave 2a
+        # (seen write) first-touches the one remaining cache (winner); wave
+        # 2b runs the other four writes concurrently over fully-cached data.
+        # All metrics arrive via observations riding on the writes — no
+        # dedicated collect/count jobs remain in the round.
         obs_novel = Observation()
         novel_df = (winner.select(F.col("cand").alias("host"))
                     .observe(obs_novel, F.count(F.lit(1)).alias("novel")))
@@ -478,24 +513,24 @@ class CrawlEngine:
                 print(f"    [r{rnd}]   write {table}: "
                       f"{time.monotonic() - w0:.1f}s", flush=True)
 
-        # Wave 2a: the two writes that FIRST-TOUCH the remaining caches
-        # (seen → winner, dns_log → dns_j) run together — disjoint lineage,
-        # no lock overlap. Wave 2b's writes then scan fully-cached data.
-        # Rationale: letting all five race (one big pool) makes tasks of the
-        # late jobs block on the cache locks of partitions the early jobs
-        # are computing — blocked tasks HOLD task slots, and at high core
-        # counts the convoy effect dominates (measured on the 9.5M-URL
-        # corpus at local[32]: 359 s all-concurrent vs 233 s serialized;
-        # this staged form keeps the concurrency that is actually parallel).
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            for w in [pool.submit(_timed_append, "seen", shrink(novel_df), rnd),
-                      pool.submit(_timed_append, "dns_log", shrink(dns_log), rnd)]:
-                w.result()
-        _mark("wave2a seen+dns_log")
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        # Wave 2a: the one write that FIRST-TOUCHES the remaining cache
+        # (seen → winner) runs alone. Wave 2b's writes then scan fully-cached
+        # data. Rationale: letting all five race (one big pool) makes tasks
+        # of the late jobs block on the cache locks of partitions the early
+        # jobs are computing — blocked tasks HOLD task slots, and at high
+        # core counts the convoy effect dominates (measured round 2 on the
+        # 9.5M-URL corpus at local[32]: 359 s all-concurrent vs 233 s
+        # serialized; this staged form keeps the concurrency that is
+        # actually parallel). dns_log moved to wave 2b in round 3: it is a
+        # pure projection of the cached j since the dns columns were folded
+        # into the wave-1 join.
+        _timed_append("seen", shrink(novel_df), rnd)
+        _mark("wave2a seen")
+        with ThreadPoolExecutor(max_workers=4) as pool:
             writes = [
                 pool.submit(_timed_append, "results", shrink(results), rnd),
                 pool.submit(_timed_append, "http_log", shrink(http_log), rnd),
+                pool.submit(_timed_append, "dns_log", shrink(dns_log), rnd),
                 pool.submit(_timed_append, "frontier", shrink(next_frontier),
                             rnd + 1),
             ]
@@ -522,6 +557,7 @@ class CrawlEngine:
         )
         self.io.append_local("metrics", pd.DataFrame([st.__dict__]), rnd)
         self.io.commit_round(rnd)
+        _mark("obs+metrics+commit")
 
         # fold this round's novelties into the bloom bank — distributed build,
         # only serialized shard banks cross the driver boundary. Below
@@ -543,8 +579,9 @@ class CrawlEngine:
                 max(1024, cfg.bloom_capacity // cfg.bloom_shards),
                 cfg.bloom_fp)
             self._bank = fresh if self._bank is None else self._bank.merge(fresh)
+            _mark("bloom bank fold")
 
-        for df in (frontier, j, pages, winner, dns_j):
+        for df in (frontier, j, pages, winner):
             df.unpersist()
         if split is not None:
             split.unpersist()

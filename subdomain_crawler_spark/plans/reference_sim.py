@@ -100,8 +100,11 @@ class ReferenceSimulator:
     def __init__(self, corpus: pd.DataFrame, dns: pd.DataFrame, cfg: CrawlConfig,
                  robots: pd.DataFrame | None = None):
         self.cfg = cfg
+        # T1 cap twin: bodies truncated at MaxResponseSize before anything
+        # reads them (fetcher.go:84 io.LimitReader)
         self.corpus = {
-            r.host: (set(r.proto_ok), int(r.status_code), r.caption)
+            r.host: (set(r.proto_ok), int(r.status_code),
+                     r.caption[:cfg.max_response_size])
             for r in corpus.itertuples()
         }
         self.dns = {r.host: (list(r.ips), int(r.rcode)) for r in dns.itertuples()}
@@ -155,6 +158,11 @@ class ReferenceSimulator:
                 if prefixes:  # disallowed: dropped permanently, not deferred
                     group = [r for r in group
                              if not self._disallowed(r[0], prefixes)]
+                if budget is None:
+                    # robots row with BOTH max_per_round and crawl_delay null
+                    # falls back to the default budget — twin of
+                    # operators/politeness.py's unconditional null coalesce
+                    budget = default
             else:
                 budget = default
             if budget is None:

@@ -104,11 +104,19 @@ def export_http_jsonl(http_log: DataFrame, path: str,
         F.lit(0).cast("long").alias("content_length"),
     )
     body = F.coalesce(F.col("_body"), F.lit(""))
+    # response header map: the reference logs the server's real headers
+    # (entity/log.go:24; artifact http.jsonl carries Content-Type etc.) —
+    # the offline corpus has none, so synthesize the two every HTML response
+    # carries, deterministically from the body. Go's json.Marshal sorts map
+    # keys, so Content-Length < Content-Type matches the reference ordering.
+    resp_header = F.create_map(
+        F.lit("Content-Length"), F.length(body).cast("string"),
+        F.lit("Content-Type"), F.lit("text/html; charset=utf-8"))
     response = F.when(responded, F.struct(
         F.lit("HTTP/1.1").alias("proto"),
         F.col("status_code").alias("status_code"),
         _status_line_expr(F.col("status_code")).alias("status"),
-        F.create_map().cast("map<string,string>").alias("header"),
+        resp_header.alias("header"),
         body.alias("body"),
         F.length(body).cast("long").alias("content_length"),
     ))
@@ -126,7 +134,16 @@ def export_dns_jsonl(dns_log: DataFrame, path: str) -> None:
 
     Synthesized deterministically from the flat (round, host, ips, rcode)
     table: id = xxhash64(host) mod 2^16, qtype A/IN, fixed TTL 300, rtt 0
-    (artifact dns.jsonl line 1 also shows rtt 0)."""
+    (artifact dns.jsonl line 1 also shows rtt 0).
+
+    Failover fidelity: the reference tries its 4 default servers in fixed
+    order — 8.8.8.8, 8.8.4.4, 1.1.1.1, 1.0.0.1 (resolver.go:29-34,69-81) —
+    and logs the FIRST server that answered. The offline dns table has no
+    per-server model (a host either resolves or nothing answers), so every
+    answered row deterministically reports the first server, ``8.8.8.8:53``,
+    and total failure reports ``""`` — exactly what the reference logs when
+    server 1 is healthy. Documented divergence: per-host failover depth is
+    not modeled (FIXTURES.md)."""
     responded = F.col("rcode") >= 0
     qname = F.concat(F.col("host"), F.lit("."))
     question = F.array(F.struct(

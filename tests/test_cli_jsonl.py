@@ -119,6 +119,11 @@ def test_http_jsonl_transcript(cli_run):
                                      "header", "body", "content_length"]
         assert resp["status"].startswith(f"{resp['status_code']} ")
         assert resp["content_length"] == len(resp["body"])
+        # synthesized response headers (entity/log.go:24; Go json.Marshal
+        # sorts map keys so Content-Length precedes Content-Type)
+        assert resp["header"] == {
+            "Content-Length": str(len(resp["body"])),
+            "Content-Type": "text/html; charset=utf-8"}
 
 
 def test_dns_jsonl_transcript(cli_run):

@@ -108,6 +108,44 @@ def test_log_volumes_match(crawl_pair):
     assert eng.io.read_upto("dns_log", last).count() == len(sim.dns_log)
 
 
+def test_response_size_cap(spark, tmp_path):
+    """T1 — bodies truncate at max_response_size BEFORE extraction
+    (fetcher.go:84 io.LimitReader, 10 MiB default): a host mentioned past
+    the cap is never discovered, and content_length clamps to the cap.
+    Engine and simulator twins must agree."""
+    body = "early.cap.com " + "x" * 60 + " late.cap.com"
+    corpus = pd.DataFrame({
+        "host": ["cap.com", "early.cap.com"],
+        "proto_ok": [["https"], ["https"]],
+        "status_code": [200, 200],
+        "caption": [body, "no links here"],
+    })
+    dns = pd.DataFrame({"host": ["cap.com", "early.cap.com"],
+                        "ips": [["1.1.1.1"], ["1.1.1.2"]],
+                        "rcode": [0, 0]})
+    cfg = CrawlConfig(honor_robots=False, expand_sld=False,
+                      max_response_size=40)
+    sim = ReferenceSimulator(corpus, dns, cfg).run(["cap.com"])
+    base = str(tmp_path / "web")
+    spark.createDataFrame(corpus).write.parquet(f"{base}/corpus.parquet")
+    spark.createDataFrame(dns).write.parquet(f"{base}/dns.parquet")
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "crawl"),
+                      spark.read.parquet(f"{base}/corpus.parquet"),
+                      spark.read.parquet(f"{base}/dns.parquet"))
+    stats = eng.run(seeds=["cap.com"], max_rounds=5)
+    got = (eng.io.read_upto("results", len(stats) - 1).toPandas()
+           .sort_values(["round", "domain"]).reset_index(drop=True))
+    want = sim.results.sort_values(["round", "domain"]).reset_index(drop=True)
+    assert list(got["domain"]) == list(want["domain"])
+    assert list(got["content_length"]) == list(want["content_length"])
+    row = got[got["domain"] == "cap.com"].iloc[0]
+    assert row["content_length"] == 40  # clamped, not len(body)
+    assert list(row["subdomains"]) == ["early.cap.com"]  # late.* unseen
+    all_seen = {x.host for x in
+                eng.io.read_upto("seen", len(stats) - 1).collect()}
+    assert "late.cap.com" not in all_seen
+
+
 def test_depth4_host_seen_but_never_crawled(crawl_pair):
     """The F4-after-D1 quirk: toodeep.* enters the seen set, never a frontier."""
     eng, stats, sim = crawl_pair

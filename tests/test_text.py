@@ -61,6 +61,35 @@ def test_minhash_properties():
     assert sim_ab > 0.5 > sim_ac
 
 
+def test_minhash_batch_scalar_parity_non_ascii():
+    """The batch kernel must shingle over CODEPOINTS like the scalar twin —
+    round 2's byte-window kernel diverged on multi-byte text (ADVICE r2)."""
+    cases = [
+        "héllo wörld — çafé naïve résumé",
+        "日本語のテキストで署名をテストする",
+        "mixed ascii and 中文 characters über alles",
+        "ascii only plain text stays on the fast path",
+        "sht",  # sub-k: one whole-string shingle
+        "né",   # sub-k AND non-ASCII
+        "",
+        None,
+    ]
+    batch = text.minhash_signatures(pd.Series(cases))
+    for t, got in zip(cases, batch):
+        want = text.minhash_signature_one(text.char_shingles_one(t or ""))
+        assert list(got) == want, t
+
+
+def test_fp61_batch_length_skew():
+    """One long doc in a batch must not inflate work/memory for the rest
+    (geometric length buckets); values identical to the scalar fold."""
+    long_doc = "x" * 300_000
+    s = pd.Series(["short one", long_doc, "", "tiny", "a" * 100])
+    got = text.fingerprint64(s)
+    for t, g in zip(s, got):
+        assert g == text.fingerprint64_one(t)
+
+
 def test_simhash_properties():
     a = text.simhash64_one("the quick brown fox jumps over the lazy dog".split())
     b = text.simhash64_one("the quick brown fox jumps over the lazy cat".split())
