@@ -44,6 +44,7 @@ from pyspark.sql.types import (
 )
 
 from ..config import CrawlConfig
+from ..functions import jvm as jvm_fns
 from ..functions import udfs
 from ..operators import politeness as pol
 from ..operators import seen as seen_mod
@@ -269,6 +270,30 @@ class CrawlEngine:
 
         return cand.withColumn("_maybe_seen", maybe_seen(F.col("cand")))
 
+    def _join_frontier(self, f: DataFrame, small_round: bool) -> DataFrame:
+        """J1 fetch-join + J2 dns-join → one frame with null fetch columns
+        for missing hosts and the rcode=-1 total-DNS-failure sentinel
+        (resolver.go:84-97; an NXDOMAIN RESPONSE leaves err==nil upstream,
+        worker.go:148-151). Small rounds: the corpus/dns tables STREAM
+        through broadcast-inner extracts against the frontier hosts (row
+        groups skipped via the build-side filter), then the frontier
+        LEFT-joins the frontier-sized extracts broadcast — zero frontier
+        shuffles. Giant rounds: one shuffle left-join chain on host (the
+        second join reuses the first's hash partitioning)."""
+        if small_round:
+            fh = F.broadcast(f.select("host"))
+            meta_small = self.corpus_meta.join(fh, "host", "inner")
+            dns_small = self.dns.join(fh, "host", "inner")
+            j = (f.join(F.broadcast(meta_small), "host", "left")
+                  .join(F.broadcast(dns_small), "host", "left"))
+        else:
+            j = (f.join(self.corpus_meta, "host", "left")
+                  .join(self.dns, "host", "left"))
+        return (j.withColumn("ips", F.coalesce(F.col("ips"),
+                                               F.array().cast("array<string>")))
+                 .withColumn("rcode", F.coalesce(F.col("rcode"),
+                                                 F.lit(-1)).cast("int")))
+
     def _run_round(self, rnd: int, frontier: DataFrame,
                    tasks_processed: int) -> tuple[RoundStats, int]:
         """One crawl round. Returns (stats, next-frontier row count — observed
@@ -287,40 +312,16 @@ class CrawlEngine:
         # window; deferred rows carry over to the next round's frontier
         active_f, deferred = pol.apply_budgets(frontier, self.robots, cfg)
 
-        # J1 fetch-join + J2 dns-join, ONE cached frame. A naive
-        # frontier-LEFT-join-corpus cannot broadcast the frontier (Spark
-        # can't build the preserved side of an outer join — the hint is
-        # silently dropped and the 100 TB corpus side shuffles). Small
-        # rounds instead stream the corpus/dns tables through broadcast-
-        # INNER joins against the frontier (no corpus shuffle, parquet row
-        # groups skipped via the build-side filter), then LEFT-join the
-        # frontier against those frontier-sized broadcast extracts — zero
-        # frontier shuffles, missing hosts get null fetch columns for free.
-        # Giant rounds (frontier > broadcast cap) take ONE left-join chain
-        # on host: the frontier shuffles once and the second join reuses
-        # that partitioning (round 2 shipped inner+anti pairs for both
-        # corpus and dns — four frontier shuffles per round; the 8M-row
-        # round-0 wave was dominated by them).
+        # J1+J2 in one cached frame (_join_frontier): round 2 shipped
+        # inner+anti join pairs for both corpus and dns — four frontier
+        # shuffles per round; the 8M-row round-0 wave was dominated by them.
+        # NOTE a naive frontier-LEFT-join-corpus hint cannot broadcast the
+        # frontier (Spark can't build the preserved side of an outer join) —
+        # the small-round path broadcasts frontier-sized EXTRACTS instead.
         f = active_f
         small_round = tasks_processed <= BROADCAST_FRONTIER_MAX
-        if small_round:
-            fh = F.broadcast(f.select("host"))
-            meta_small = self.corpus_meta.join(fh, "host", "inner")
-            dns_small = self.dns.join(fh, "host", "inner")
-            j = (f.join(F.broadcast(meta_small), "host", "left")
-                  .join(F.broadcast(dns_small), "host", "left"))
-        else:
-            j = (f.join(self.corpus_meta, "host", "left")
-                  .join(self.dns, "host", "left"))
-        # hosts absent from the dns table model "no response from any DNS
-        # server" (resolver.go:84-97) — rcode=-1 sentinel; only these set
-        # result.error (an NXDOMAIN RESPONSE leaves err==nil upstream,
-        # worker.go:148-151)
-        j = (j.withColumn("ips", F.coalesce(F.col("ips"),
-                                            F.array().cast("array<string>")))
-              .withColumn("rcode", F.coalesce(F.col("rcode"),
-                                              F.lit(-1)).cast("int"))
-              .withColumn("active", F.col("depth") <= F.lit(cfg.max_depth)))
+        j = self._join_frontier(f, small_round).withColumn(
+            "active", F.col("depth") <= F.lit(cfg.max_depth))
 
         is2xx = (F.col("status_code") >= 200) & (F.col("status_code") < 300)
         has = lambda p: F.coalesce(F.array_contains("proto_ok", p), F.lit(False))
@@ -373,24 +374,41 @@ class CrawlEngine:
             .select(F.lit(rnd).alias("round"), "host", "a.proto", "a.url",
                     "a.status_code", "a.error"))
 
-        # ---- extraction (X1+F2 fused with X3 title — ONE Arrow pass) ---------
+        # ---- extraction (X1+F2 fused with X3 title) --------------------------
         # fetched hosts broadcast-join back to the text column (gated on the
         # same frontier-size threshold as the fetch-join: a 10^10-row round
         # would OOM the driver if broadcast unconditionally); the captions
-        # stream scan → Arrow → UDF and are dropped before the cache
+        # stream scan → extraction and are dropped before the cache.
+        # Default path is PURE JVM (X1/F2/X3 as regexp_extract_all /
+        # array_distinct / filter / regexp_replace — "UDFs are the slow
+        # path"): no Arrow serialization of the 100 TB text column into
+        # Python, no Python regex; semantics proven equal to the scalar
+        # kernels by the golden E2E suite + test_jvm_extraction_parity.
+        # SPARK_GRAFT_PY_EXTRACT=1 switches back to the fused Arrow UDF
+        # (A/B lever; also the template for ops Spark genuinely can't
+        # express).
         fetched_hosts = j.filter("fetched").select("host", "root")
         if small_round:
             fetched_hosts = F.broadcast(fetched_hosts)
         width = self.spark.sparkContext.defaultParallelism
-        pages = (fetched_hosts.join(self.corpus_text, "host")
-                  # the join runs at the text scan's split count (could be 1-2
-                  # splits); spread the fetched captions across all cores
-                  # before the CPU-heavy extraction UDF
-                  .repartition(width, "host")
-                  .withColumn("pf", udfs.udf_page_features("caption", "root"))
-                  .select("host", "root", F.col("pf.cands").alias("cands"),
-                          F.col("pf.title").alias("title"))
-                  .persist())
+        base_pages = (fetched_hosts.join(self.corpus_text, "host")
+                      # the join runs at the text scan's split count (could be
+                      # 1-2 splits); spread the fetched captions across all
+                      # cores before the CPU-heavy extraction
+                      .repartition(width, "host"))
+        if _os_mod.environ.get("SPARK_GRAFT_PY_EXTRACT") == "1":
+            pages = (base_pages
+                     .withColumn("pf", udfs.udf_page_features("caption", "root"))
+                     .select("host", "root", F.col("pf.cands").alias("cands"),
+                             F.col("pf.title").alias("title"))
+                     .persist())
+        else:
+            pages = (base_pages
+                     .select("host", "root",
+                             jvm_fns.extract_in_scope("caption", "root")
+                             .alias("cands"),
+                             jvm_fns.extract_title("caption").alias("title"))
+                     .persist())
 
         exploded = pages.select(
             F.col("host").alias("parent"), F.col("root").alias("parent_root"),

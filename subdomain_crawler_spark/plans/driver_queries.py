@@ -691,6 +691,55 @@ ORDER BY ts DESC, event_id DESC LIMIT 50
 """
 
 
+_SESSION_GAP_US = 1800 * 1_000_000  # 30-minute inactivity gap
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization over the events log: per user, a new session starts
+    after ≥30 min of inactivity (classic two-window shape: lag → gap flag →
+    running sum = session id → per-session aggregate). Timestamps compared
+    at microsecond precision so both engines hash identically; the ts
+    column is TIMESTAMP_NTZ, so all arithmetic uses zone-free DIFFERENCES
+    (timestamp_diff / epoch_us deltas) — no session-timezone dependence.
+    Scale note: the windows partition by user_id — bounded per-user event
+    counts at web scale; a hot user would take the salted two-phase form
+    used by operators/politeness.py."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+    new_s = (gap.isNull() | (gap > _SESSION_GAP_US)).cast("long")
+    sid = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    x = e.select("user_id", "event_id", "ts", sid.alias("session_id"))
+    return (x.groupBy("user_id", "session_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.min("event_id").alias("first_event"),
+                  F.floor(F.timestamp_diff("MICROSECOND", F.min("ts"),
+                                           F.max("ts")) / F.lit(1_000_000))
+                  .cast("long").alias("duration_sec")))
+
+
+SQL_SESSIONIZE = f"""
+WITH x AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id, us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(event_id) AS first_event,
+       (max(us) - min(us)) // 1000000 AS duration_sec
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def q_props_json(spark, sf_dir):
     """Scalar-function surface: JSON field extraction + grouped aggregate
     over the events.props JSON column."""
@@ -831,6 +880,154 @@ SELECT doc_id,
         ELSE -1085102592571150096 END)::BIGINT AS phash -- cols 0-3 (0xF0..)
   , true AS pixels_ok
 FROM documents
+"""
+
+
+def q_sample_split(spark, sf_dir):
+    """Deterministic content-hash sampling — the train/val/test split a
+    training-data pipeline needs to be reproducible across runs and engines
+    (no rand(): the split is a pure function of the document text).
+    fp61(text) mod 100 → [0,90) train / [90,95) val / else test; the same
+    Rabin-Karp fingerprint both engines already agree on byte-for-byte."""
+    d = _docs_wide(spark, sf_dir)
+    bucket = F.pmod(udfs.udf_fingerprint64("text"), F.lit(100))
+    split = (F.when(bucket < 90, "train")
+              .when(bucket < 95, "val")
+              .otherwise("test"))
+    return d.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
+def _sql_sample_split() -> str:
+    return f"""
+SELECT doc_id,
+       {_sql_fp61('text')} % 100 AS bucket,
+       CASE WHEN {_sql_fp61('text')} % 100 < 90 THEN 'train'
+            WHEN {_sql_fp61('text')} % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+# -- payload validation on STORED bytes (north-rule invariant, M5) -----------
+# The driver's sf tables carry no binary columns, so the query materializes a
+# deterministic image+caption fixture parquet ONCE (no RNG — closed-form
+# gradient images in four orientations, real raw/lossy codecs) and runs the
+# REAL corpus-bytes path: operators/validate.validate_payloads — image_id
+# join + one Arrow pass decoding stored bytes, PSNR≥40-or-exact gate +
+# caption equality. The DuckDB oracle reads the same parquet but never
+# decodes: expected psnr/ok per row are a closed form of the row class
+# (i mod 2/4/5/7), with the psnr literals computed at SQL-generation time by
+# the same numpy kernels the executors run.
+
+_PAYLOAD_FIXTURE = "/tmp/spark_graft_payload_fixture_v1.parquet"
+_PAYLOAD_N = 280
+
+
+def _payload_grays():
+    import numpy as np
+
+    g = np.arange(16, dtype=np.uint8) * 16 + 2  # +2 → lossy quant error = 2
+    return [np.repeat(g, 16).reshape(16, 16),
+            np.repeat(g[::-1], 16).reshape(16, 16),
+            np.tile(g, 16).reshape(16, 16),
+            np.tile(g[::-1], 16).reshape(16, 16)]
+
+
+def _payload_imgs(i: int):
+    """(reference image, got image) for row i. Deterministic classes:
+    fmt raw/lossy by i%2, orientation i%4, corrupted top-left channel
+    (XOR 0x10) iff i%7==0, dirty caption iff i%5==0."""
+    import numpy as np
+
+    img = np.stack([_payload_grays()[i % 4]] * 3, axis=2)
+    got = img.copy()
+    if i % 7 == 0:
+        got[0, 0, 0] ^= 0x10
+    return img, got
+
+
+def _ensure_payload_fixture() -> str:
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions import image as img_m
+
+    if os.path.exists(_PAYLOAD_FIXTURE):
+        return _PAYLOAD_FIXTURE
+    rows = {k: [] for k in ("image_id", "bytes", "fmt", "caption",
+                            "ref_bytes", "ref_fmt", "ref_caption")}
+    for i in range(_PAYLOAD_N):
+        ref, got = _payload_imgs(i)
+        fmt = "raw" if i % 2 == 0 else "lossy"
+        rows["image_id"].append(f"img{i}")
+        rows["bytes"].append(img_m.encode_image(got, fmt))
+        rows["fmt"].append(fmt)
+        cap = f"cap-{i}"
+        rows["caption"].append(cap + ("-dirty" if i % 5 == 0 else ""))
+        rows["ref_bytes"].append(img_m.encode_image(ref, "raw"))
+        rows["ref_fmt"].append("raw")
+        rows["ref_caption"].append(cap)
+    tmp = _PAYLOAD_FIXTURE + ".tmp"
+    pq.write_table(pa.table(rows), tmp)
+    os.replace(tmp, _PAYLOAD_FIXTURE)  # atomic vs concurrent builders
+    return _PAYLOAD_FIXTURE
+
+
+def q_payload_validate(spark, sf_dir):
+    """M5 — per-row payload validation on STORED bytes (input_hint: decoded
+    pixels allclose — PSNR≥40 dB for lossy / exact for lossless — plus
+    caption equality): real codec decode of the fixture parquet's binary
+    columns through operators/validate.validate_payloads (image_id join +
+    one Arrow batch pass). At 100 TB both sides bucket by image_id so the
+    join is shuffle-local; here the fixture is one file."""
+    _ensure_payload_fixture()
+    from ..operators.validate import validate_payloads
+
+    t = spark.read.parquet(_PAYLOAD_FIXTURE)
+    got = t.select("image_id", "bytes", "fmt", "caption")
+    ref = t.select("image_id", F.col("ref_bytes").alias("bytes"),
+                   F.col("ref_fmt").alias("fmt"),
+                   F.col("ref_caption").alias("caption"))
+    v = validate_payloads(got, ref)
+    return v.select("image_id", "fmt",
+                    F.round("psnr_db", 4).alias("psnr_db"),
+                    "pixels_ok", "caption_ok", "payload_ok")
+
+
+def _sql_payload_validate() -> str:
+    """Closed-form oracle: psnr literals computed by the SAME numpy kernels
+    at SQL-generation time, one per row class (clean lossy / corrupt raw /
+    corrupt lossy; clean raw = exact → 1e9 sentinel)."""
+    from ..functions import image as img_m
+
+    def p(i):
+        ref, got = _payload_imgs(i)
+        fmt = "raw" if i % 2 == 0 else "lossy"
+        dec = img_m.decode_image(img_m.encode_image(got, fmt), fmt)
+        return round(min(img_m.psnr(dec, ref), 1e9), 4)
+
+    clean_lossy = p(1)      # quant error 2 everywhere
+    corrupt_raw = p(14)     # one channel off by 16, raw
+    corrupt_lossy = p(7)    # one channel off by 18 post-quant + 2 elsewhere
+    assert p(3) == clean_lossy and p(28) == corrupt_raw and p(21) == corrupt_lossy
+    return f"""
+WITH t AS (
+  SELECT image_id, fmt, caption, ref_caption,
+         CAST(substring(image_id, 4) AS INT) AS i
+  FROM read_parquet('{_PAYLOAD_FIXTURE}')
+)
+SELECT image_id, fmt,
+  CASE WHEN i % 7 <> 0 AND i % 2 = 0 THEN 1000000000.0
+       WHEN i % 7 <> 0 THEN {clean_lossy}
+       WHEN i % 2 = 0 THEN {corrupt_raw}
+       ELSE {corrupt_lossy} END AS psnr_db,
+  (i % 2 = 1 OR i % 7 <> 0) AS pixels_ok,
+  (caption = ref_caption) AS caption_ok,
+  ((i % 2 = 1 OR i % 7 <> 0) AND caption = ref_caption) AS payload_ok
+FROM t
 """
 
 
@@ -1021,9 +1218,12 @@ QUERIES = {
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "a3_recent": q_a3_recent,
     "props_json": q_props_json,
+    "sessionize": q_sessionize,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
     "x2_extract_html": q_x2_extract_html,
     "img_pipeline": q_img_pipeline,
+    "payload_validate": q_payload_validate,
+    "sample_split": q_sample_split,
     "fingerprint64": q_fingerprint64,
     "minhash_signature": q_minhash_signature,
     "simhash64": q_simhash64,
@@ -1032,6 +1232,7 @@ QUERIES = {
 
 
 def oracles() -> dict[str, str]:
+    _ensure_payload_fixture()
     return {
         "f1_validate": SQL_F1,
         "f2_scope": SQL_F2,
@@ -1057,6 +1258,7 @@ def oracles() -> dict[str, str]:
         "ann_lsh_bucket": _sql_ann_lsh(),
         "a3_recent": SQL_A3,
         "props_json": SQL_PROPS_JSON,
+        "sessionize": SQL_SESSIONIZE,
         "emb_near_dup_pairs": _sql_emb_near_dup(),
         "fingerprint64": SQL_FINGERPRINT,
         "minhash_signature": _sql_minhash(),
@@ -1066,4 +1268,9 @@ def oracles() -> dict[str, str]:
         # urlparse semantics pinned by unit tests — see q_x2_extract_html)
         "x2_extract_html": SQL_X2,
         "img_pipeline": SQL_IMG_PIPELINE,
+        # the oracle reads the deterministic fixture parquet by absolute
+        # path (the sf views carry no binary columns) — ensure it exists
+        # whichever side the driver runs first
+        "payload_validate": _sql_payload_validate(),
+        "sample_split": _sql_sample_split(),
     }

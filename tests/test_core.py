@@ -241,3 +241,41 @@ def test_extract_from_html(html, expected):
 def test_canonicalize():
     s = pd.Series(["  WWW.Example.COM \n", "a.B.c"])
     assert list(core.canonicalize(s)) == ["www.example.com", "a.b.c"]
+
+
+def test_jvm_extraction_parity(spark):
+    """The crawl's JVM extraction path (functions/jvm.py — regexp_extract_all
+    / array_distinct / filter / regexp_replace) must match the Python
+    kernels exactly: same matches, same first-wins dedup order, same scope
+    filter, same title normalization. Edge family: emails, path lookalikes,
+    mixed case, duplicates, multi-title, control chars, empty."""
+    from subdomain_crawler_spark.functions import jvm
+
+    texts = [
+        "plain text no hosts here",
+        "Visit www.Example.COM and again WWW.example.com plus api.example.com",
+        "email admin@mail.example.com and /path/2f2f.example.com slash",
+        "a.example.com b.other.org a.example.com example.com",
+        "<title>  Hi\n\tThere  </title> x.example.com <title>second</title>",
+        "<TITLE lang=en>Mixed\rCase</TITLE> cdn.example.com",
+        "no title but a-b.example.com and -bad-.example.com and a..b",
+        "",
+        "proto-relative //static.example.com/x and deep.a.b.example.com",
+    ]
+    root = "example.com"
+    import pandas as pd
+    df = spark.createDataFrame(
+        pd.DataFrame({"caption": texts, "root": [root] * len(texts)}))
+    got = (df.select(
+        jvm.extract_hosts("caption").alias("hosts"),
+        jvm.extract_in_scope("caption", "root").alias("cands"),
+        jvm.extract_title("caption").alias("title"))
+        .collect())
+    from subdomain_crawler_spark.functions import core
+    for text, row in zip(texts, got):
+        want_hosts = core.extract_hosts_one(text)
+        assert list(row.hosts) == want_hosts, text
+        want_scope = [c for c in want_hosts
+                      if c == root or c.endswith("." + root)]
+        assert list(row.cands) == want_scope, text
+        assert row.title == core.extract_title_one(text), text

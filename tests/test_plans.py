@@ -97,9 +97,13 @@ def test_politeness_robots_join_broadcasts(spark, fixture_web):
 
 
 def test_crawl_fetch_join_broadcasts_frontier(spark, fixture_web, tmp_path):
-    """The fetch-join must broadcast the frontier side and stream the corpus
-    (a dropped hint here silently shuffles the 100 TB side — regression
-    guard for the build-left-on-outer-join bug)."""
+    """The small-round join chain must keep every join broadcast — the
+    corpus/dns tables stream through broadcast-inner extracts and the
+    frontier LEFT-joins the broadcast extracts: zero frontier shuffles, no
+    SortMergeJoin anywhere (a dropped hint here silently shuffles the
+    100 TB side). Giant rounds must instead be a shuffle join chain with no
+    broadcast of the frontier (a 10^10-row broadcast would kill the
+    driver)."""
     from subdomain_crawler_spark.config import CrawlConfig
     from subdomain_crawler_spark.plans.crawl import CrawlEngine
 
@@ -110,7 +114,18 @@ def test_crawl_fetch_join_broadcasts_frontier(spark, fixture_web, tmp_path):
                       spark.read.parquet(f"{base}/dns.parquet"))
     eng.start(fixture_web["seeds"])
     f = eng.io.read_round("frontier", 0)
-    hit = eng.corpus_meta.join(F.broadcast(f), "host", "inner")
-    p = plan(hit)
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
+
+    p = plan(eng._join_frontier(f, small_round=True))
+    assert p.count("BroadcastHashJoin") >= 4  # 2 extracts + 2 left joins
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # disable auto-broadcast so the tiny fixture corpus doesn't mask the
+    # giant-round plan shape (at 10^10 rows nothing auto-broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p_big = plan(eng._join_frontier(f, small_round=False))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in p_big
+    assert "BroadcastHashJoin" not in p_big
