@@ -92,3 +92,58 @@ def test_validate_fixture_corpus_self(spark, fixture_web):
     n = out.count()
     ok = out.filter("payload_ok").count()
     assert n == ok > 0
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState seen-filter: novel hosts pass, repeats are
+    dropped WITHIN a batch, ACROSS micro-batches, and ACROSS query restarts
+    (state rides the checkpoint)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+    from subdomain_crawler_spark.streaming.dedup import streaming_seen_filter
+
+    src = tmp_path / "cands"
+    src.mkdir()
+    out_dir = str(tmp_path / "novel")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        raw = (spark.readStream.format("json")
+               .schema("host string, root string, depth int")
+               .load(str(src)))
+        novel = streaming_seen_filter(raw, shards=4)
+
+        def sink(batch, batch_id):
+            (batch.coalesce(1).write.mode("append").parquet(out_dir))
+
+        q = (novel.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    def write_file(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write_file("a.json", [
+        {"host": "a.x.com", "root": "x.com", "depth": 1},
+        {"host": "b.x.com", "root": "x.com", "depth": 1},
+        {"host": "a.x.com", "root": "x.com", "depth": 1},  # in-batch repeat
+    ])
+    run_once()
+    got1 = {r.host for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {"a.x.com", "b.x.com"}
+
+    # restart with new data: previously-seen hosts must stay filtered
+    write_file("b.json", [
+        {"host": "b.x.com", "root": "x.com", "depth": 1},  # seen last run
+        {"host": "c.x.com", "root": "x.com", "depth": 2},
+    ])
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    hosts = sorted(r.host for r in rows)
+    assert hosts == ["a.x.com", "b.x.com", "c.x.com"]  # c novel, b not re-emitted
+    assert {r.depth for r in rows if r.host == "c.x.com"} == {2}
