@@ -35,10 +35,20 @@ TITLE_PATTERN = r"(?is)<title[^>]*>(.*?)</title>"
 
 
 def extract_hosts(text) -> Column:
-    """X1 — ordered first-wins-deduped lowercase hostname mentions."""
+    """X1 — ordered first-wins-deduped lowercase hostname mentions.
+
+    Dot-token fast path (same as core._findall_hosts): a match can never
+    span whitespace and must contain a literal dot, so the (backtracking,
+    ~0.2 ms/KB) regex only needs to see the dot-bearing whitespace-free
+    tokens — on prose-heavy pages that is a 20-50× reduction of regex
+    input with an identical match sequence (split is linear C/JVM code;
+    empty tokens from leading whitespace carry no dot and drop out)."""
+    dotted = F.filter(F.split(text, r"\s+"),
+                      lambda t: t.contains("."))
+    reduced = F.array_join(dotted, " ")
     return F.array_distinct(
         F.transform(
-            F.regexp_extract_all(text, F.lit(EXTRACT_PATTERN), F.lit(0)),
+            F.regexp_extract_all(reduced, F.lit(EXTRACT_PATTERN), F.lit(0)),
             lambda m: F.lower(m)))
 
 

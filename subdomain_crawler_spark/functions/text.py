@@ -15,8 +15,9 @@ DuckDB oracle in ``__spark_entry__.py`` can verify it exactly:
   tie-break by language code.
 * fingerprint64 — polynomial rolling hash over UTF-8 bytes mod 2^61-1
   (Rabin-Karp style); exact integer arithmetic, reproducible anywhere.
-* shingles / minhash / simhash helpers for the dedup operators in
-  ``operators/dedup.py``.
+* shingles / minhash / simhash helpers for the dedup queries in
+  ``plans/driver_queries.py`` (minhash_signature / minhash_lsh_pairs /
+  simhash64 / fingerprint64).
 """
 
 from __future__ import annotations
@@ -161,7 +162,7 @@ def fingerprint64(texts: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
-# shingling / sketch primitives (consumed by operators/dedup.py)
+# shingling / sketch primitives (consumed by the dedup driver queries)
 # ---------------------------------------------------------------------------
 
 

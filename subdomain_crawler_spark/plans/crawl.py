@@ -304,9 +304,17 @@ class CrawlEngine:
 
         # tiny rounds write single-task files (avoids 32 near-empty tasks per
         # write); bigger rounds keep full write parallelism — a serialized
-        # write would cap scaling
+        # write would cap scaling. SPARK_GRAFT_WRITE_FILES caps the file
+        # count of the wave-2b cache-scan writes only (fewer concurrent
+        # write streams on a single shared disk — A/B lever for the
+        # one-virtio-disk sandbox; wave 2a is exempt because its write
+        # MATERIALIZES the winner lineage and a coalesce there would
+        # shrink the aggregation stage itself).
         small = tasks_processed < 20_000
         shrink = (lambda df: df.coalesce(1)) if small else (lambda df: df)
+        wcap = int(_os_mod.environ.get("SPARK_GRAFT_WRITE_FILES", "0"))
+        shrink2b = ((lambda df: df.coalesce(wcap)) if wcap and not small
+                    else shrink)
 
         # politeness (W2, north-rule addition): per-root budget via salted
         # window; deferred rows carry over to the next round's frontier
@@ -546,10 +554,10 @@ class CrawlEngine:
         _mark("wave2a seen")
         with ThreadPoolExecutor(max_workers=4) as pool:
             writes = [
-                pool.submit(_timed_append, "results", shrink(results), rnd),
-                pool.submit(_timed_append, "http_log", shrink(http_log), rnd),
-                pool.submit(_timed_append, "dns_log", shrink(dns_log), rnd),
-                pool.submit(_timed_append, "frontier", shrink(next_frontier),
+                pool.submit(_timed_append, "results", shrink2b(results), rnd),
+                pool.submit(_timed_append, "http_log", shrink2b(http_log), rnd),
+                pool.submit(_timed_append, "dns_log", shrink2b(dns_log), rnd),
+                pool.submit(_timed_append, "frontier", shrink2b(next_frontier),
                             rnd + 1),
             ]
             for w in writes:
