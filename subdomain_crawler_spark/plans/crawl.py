@@ -387,14 +387,16 @@ class CrawlEngine:
         # same frontier-size threshold as the fetch-join: a 10^10-row round
         # would OOM the driver if broadcast unconditionally); the captions
         # stream scan → extraction and are dropped before the cache.
-        # Default path is PURE JVM (X1/F2/X3 as regexp_extract_all /
-        # array_distinct / filter / regexp_replace — "UDFs are the slow
-        # path"): no Arrow serialization of the 100 TB text column into
-        # Python, no Python regex; semantics proven equal to the scalar
-        # kernels by the golden E2E suite + test_jvm_extraction_parity.
-        # SPARK_GRAFT_PY_EXTRACT=1 switches back to the fused Arrow UDF
-        # (A/B lever; also the template for ops Spark genuinely can't
-        # express).
+        # Default = the fused Arrow pandas UDF (ONE batch pass). Both paths
+        # were built and A/B-measured (BENCH/BASELINE.md §1): the pure-JVM
+        # Catalyst chain (functions/jvm.py — regexp_extract_all /
+        # array_distinct / filter, same dot-token fast path) avoids the
+        # Arrow IPC entirely but Java's backtracking regex measures ~2×
+        # slower than the C regex engine on prose-heavy pages, and the UDF
+        # path won min-wall on both bench corpora — so "UDFs are the slow
+        # path" loses to measurement here. SPARK_GRAFT_JVM_EXTRACT=1 opts
+        # into the JVM chain (semantics-equal: parity test + goldens run
+        # both ways), the right choice for Python-worker-free executors.
         fetched_hosts = j.filter("fetched").select("host", "root")
         if small_round:
             fetched_hosts = F.broadcast(fetched_hosts)
@@ -404,18 +406,18 @@ class CrawlEngine:
                       # 1-2 splits); spread the fetched captions across all
                       # cores before the CPU-heavy extraction
                       .repartition(width, "host"))
-        if _os_mod.environ.get("SPARK_GRAFT_PY_EXTRACT") == "1":
-            pages = (base_pages
-                     .withColumn("pf", udfs.udf_page_features("caption", "root"))
-                     .select("host", "root", F.col("pf.cands").alias("cands"),
-                             F.col("pf.title").alias("title"))
-                     .persist())
-        else:
+        if _os_mod.environ.get("SPARK_GRAFT_JVM_EXTRACT") == "1":
             pages = (base_pages
                      .select("host", "root",
                              jvm_fns.extract_in_scope("caption", "root")
                              .alias("cands"),
                              jvm_fns.extract_title("caption").alias("title"))
+                     .persist())
+        else:
+            pages = (base_pages
+                     .withColumn("pf", udfs.udf_page_features("caption", "root"))
+                     .select("host", "root", F.col("pf.cands").alias("cands"),
+                             F.col("pf.title").alias("title"))
                      .persist())
 
         exploded = pages.select(

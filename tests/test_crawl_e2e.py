@@ -108,6 +108,24 @@ def test_log_volumes_match(crawl_pair):
     assert eng.io.read_upto("dns_log", last).count() == len(sim.dns_log)
 
 
+def test_jvm_extract_crawl_equivalence(spark, fixture_web, tmp_path,
+                                       monkeypatch):
+    """SPARK_GRAFT_JVM_EXTRACT=1 (Catalyst extraction chain) must produce
+    the same crawl as the simulator — the whole-fixture seen set and
+    per-round frontier counts pin it (the default Arrow-UDF path is pinned
+    by the main crawl_pair goldens)."""
+    monkeypatch.setenv("SPARK_GRAFT_JVM_EXTRACT", "1")
+    cfg = CrawlConfig(honor_robots=False, use_bloom_prefilter=False)
+    eng, stats = _run_engine(spark, fixture_web, tmp_path / "jvm", cfg)
+    sim = _sim(fixture_web, cfg)
+    assert len(stats) == len(sim.frontiers)
+    got = {x.host
+           for x in eng.io.read_upto("seen", len(stats) - 1).collect()}
+    assert got == set(sim.seen)
+    for st, sim_rows in zip(stats, sim.frontiers):
+        assert st.tasks_processed == len(sim_rows)
+
+
 def test_response_size_cap(spark, tmp_path):
     """T1 — bodies truncate at max_response_size BEFORE extraction
     (fetcher.go:84 io.LimitReader, 10 MiB default): a host mentioned past
