@@ -44,7 +44,7 @@ def build_spark(cpus: int):
 
 HEADLINE = [
     "tpch_q1", "tpch_q3", "x1_extract", "x4_expand", "x5_root",
-    "w1_first_success", "w2_budget", "d1_anti_join", "dedup_exact",
+    "w1_first_success", "w2_budget", "d1_anti_join", "a2_rates", "dedup_exact",
     "token_count", "quality_score", "lang_id", "ngram_jaccard",
     "cosine_topk", "ann_lsh_bucket", "img_pipeline", "payload_validate",
     "sessionize", "sample_split", "fingerprint64", "simhash64",
@@ -193,7 +193,7 @@ def scaling() -> None:
         "SPARK_GRAFT_SCALING_LEVELS", "8,32").split(","))
     scaling_web_dir(n_roots, hpr, bloat)  # pre-generate once (pyarrow-only)
     walls: dict[int, list[float]] = {c: [] for c in levels}
-    frontier_urls = None
+    fronts: dict[int, set[int]] = {c: set() for c in levels}
     for t in range(trials):
         for cpus in levels:  # interleaved: one trial per level per sweep
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
@@ -207,9 +207,15 @@ def scaling() -> None:
                 env=env, capture_output=True, text=True, check=True)
             out = json.loads(proc.stdout.strip().splitlines()[-1])
             walls[cpus].append(out["wall_sec"])
-            frontier_urls = out["frontier_urls"]
+            fronts[cpus].add(out["frontier_urls"])
             print(f"  sweep {t} local[{cpus}]: {out['wall_sec']}s",
                   file=sys.stderr, flush=True)
+    # throughput numerator must be IDENTICAL work at every level — a
+    # level-dependent frontier (nondeterminism or a parallelism bug) would
+    # silently corrupt the efficiency numbers
+    all_fronts = set().union(*fronts.values())
+    assert len(all_fronts) == 1, f"frontier_urls differ across trials: {fronts}"
+    frontier_urls = all_fronts.pop()
     results = {}
     for cpus in levels:
         w = walls[cpus]

@@ -2,10 +2,13 @@
 
 Reference: /root/reference/cmd/subdomain-crawler/main.go:15-89 with flags at
 pkg/interface/cli/config.go:12-54 (input `-i` file-or-stdin, output JSONL
-paths, --max-depth, --workers, --expand-sld, --bloom-size/--bloom-fp). Flags
-that only parameterize live-network machinery (timeouts, user-agent,
-queue-size, dashboard) have no offline analog and are intentionally absent —
+paths, --max-depth, --workers, --expand-sld, --bloom-size/--bloom-fp,
+--dashboard). Flags that only parameterize live-network machinery (timeouts,
+user-agent, queue-size) have no offline analog and are intentionally absent —
 the corpus/dns tables ARE the network here (SURVEY.md §2.1 S6/S7).
+--dashboard renders the presenter twin of the reference TUI
+(subdomain_crawler_spark/dashboard.py) — per-round repaint of counters,
+rates, success %, and the recent-discoveries ring.
 
 Usage (spark-submit or plain python — SparkSession picks up the master from
 spark-submit when present, else local[--workers]):
@@ -77,6 +80,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="seen-filter capacity [ref default 1e6]")
     p.add_argument("--bloom-fp", type=float, default=0.01,
                    help="seen-filter false-positive rate [ref default 0.01]")
+    p.add_argument("--dashboard", action="store_true",
+                   help="render the live text dashboard (counters, rates, "
+                        "recent-discoveries ring) to stderr per round "
+                        "[ref: presenter/dashboard.go]")
     p.add_argument("--resume", action="store_true",
                    help="resume from the workdir's last committed round "
                         "(seeds ignored if a committed round exists)")
@@ -144,12 +151,17 @@ def main(argv: list[str] | None = None) -> int:
     if not (args.resume and engine.resume_round() > 0):
         seeds = read_seeds(args.seeds)
 
-    stats = engine.run(
-        seeds=seeds, max_rounds=args.max_rounds,
-        progress=lambda st: print(
+    if args.dashboard:
+        from subdomain_crawler_spark.dashboard import TextDashboard
+
+        progress = TextDashboard(io=engine.io).update
+    else:
+        progress = lambda st: print(
             f"round {st.round}: processed={st.tasks_processed} "
             f"novel={st.unique_subdomains} enqueued={st.tasks_enqueued} "
-            f"({st.wall_sec:.1f}s)", file=sys.stderr))
+            f"({st.wall_sec:.1f}s)", file=sys.stderr)
+    stats = engine.run(seeds=seeds, max_rounds=args.max_rounds,
+                       progress=progress)
 
     last = engine.io.committed_round()
     if last >= 0:

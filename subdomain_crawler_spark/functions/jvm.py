@@ -26,12 +26,23 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# shared verbatim with functions/core.py / driver_queries.py (Go source:
-# domain_service.go:133,215)
+# Shared with functions/core.py / driver_queries.py (Go source:
+# domain_service.go:133,215) — with Java-side Unicode flags added for parity
+# with the Python kernels: Python's `(?i)` case-folds Unicode (U+212A KELVIN
+# matches [a-z]) and `str.split()` / `\s` treat NBSP & co. as whitespace,
+# while Java's `(?i)` / `\s` are ASCII-only by default.  `(?u)` enables
+# UNICODE_CASE and `(?U)` UNICODE_CHARACTER_CLASS (which implies `(?u)`).
+# Residual documented divergence: Python str.isspace() also treats
+# U+001C..U+001F (file/group/record/unit separators) as whitespace; Unicode
+# White_Space (Java `(?U)\s`) does not — a dotted token bridged only by
+# those four control chars tokenizes differently (regex match set is
+# unaffected since neither engine matches them inside a host).  The
+# max_response_size byte-vs-char cap caveat in plans/crawl.py also applies.
 EXTRACT_PATTERN = (
-    r"(?i)(?:[a-zA-Z0-9](?:[a-zA-Z0-9\-]{0,61}[a-zA-Z0-9])?\.)+[a-zA-Z]{2,}"
+    r"(?iu)(?:[a-zA-Z0-9](?:[a-zA-Z0-9\-]{0,61}[a-zA-Z0-9])?\.)+[a-zA-Z]{2,}"
 )
 TITLE_PATTERN = r"(?is)<title[^>]*>(.*?)</title>"
+WS = r"(?U)\s"
 
 
 def extract_hosts(text) -> Column:
@@ -43,7 +54,7 @@ def extract_hosts(text) -> Column:
     tokens — on prose-heavy pages that is a 20-50× reduction of regex
     input with an identical match sequence (split is linear C/JVM code;
     empty tokens from leading whitespace carry no dot and drop out)."""
-    dotted = F.filter(F.split(text, r"\s+"),
+    dotted = F.filter(F.split(text, WS + "+"),
                       lambda t: t.contains("."))
     reduced = F.array_join(dotted, " ")
     return F.array_distinct(
@@ -64,6 +75,6 @@ def extract_in_scope(text, root) -> Column:
 def extract_title(text) -> Column:
     """X3 — first <title> match: strip, control-chars→space, collapse runs."""
     raw = F.regexp_extract(text, TITLE_PATTERN, 1)
-    stripped = F.regexp_replace(raw, r"^\s+|\s+$", "")
+    stripped = F.regexp_replace(raw, r"(?U)^\s+|\s+$", "")
     spaced = F.regexp_replace(stripped, r"[\n\r\t]", " ")
-    return F.regexp_replace(spaced, r"\s+", " ")
+    return F.regexp_replace(spaced, WS + "+", " ")

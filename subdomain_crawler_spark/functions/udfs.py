@@ -9,11 +9,11 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, BooleanType, DoubleType, IntegerType, LongType, StringType,
+    ArrayType, BooleanType, IntegerType, LongType, StringType,
     StructField, StructType,
 )
 
-from . import core, image, text
+from . import core, text
 
 
 @F.pandas_udf(StringType())
@@ -127,23 +127,6 @@ def udf_img_pipeline(doc_ids: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"fmt": fmts, "phash": phs, "pixels_ok": oks})
 
 
-@F.pandas_udf(LongType())
-def udf_phash(byts: pd.Series, fmts: pd.Series) -> pd.Series:
-    return image.phash_batch(byts, fmts)
-
-
-@F.pandas_udf(DoubleType())
-def udf_psnr_vs(byts: pd.Series, fmts: pd.Series,
-                ref_byts: pd.Series, ref_fmts: pd.Series) -> pd.Series:
-    import numpy as np
-
-    out = []
-    for b, f, rb, rf in zip(byts.to_numpy(), fmts.to_numpy(),
-                            ref_byts.to_numpy(), ref_fmts.to_numpy()):
-        if b is None or rb is None:
-            out.append(None)
-            continue
-        a, r = image.decode_image(b, f), image.decode_image(rb, rf)
-        out.append(float("nan") if a.shape != r.shape else
-                   min(image.psnr(a, r), 1e9))  # cap inf for a storable double
-    return pd.Series(out, dtype="float64")
+# (udf_phash / udf_psnr_vs removed in round 4: they were referenced nowhere —
+# the validate path computes pixels/PSNR inside operators/validate.py's own
+# Arrow UDF, and phash rides inside udf_img_pipeline above.)

@@ -126,6 +126,15 @@ class CrawlEngine:
             "host", F.substring("caption", 1, cap).alias("caption"))
         self.dns = dns
         self.robots = robots
+        # scan parallelism of the text column (metadata only — no job):
+        # decides whether extraction needs a spreading repartition (round-4
+        # fix: the unconditional repartition was pure overhead whenever the
+        # scan already has >= cores splits, and at 100 TB it would shuffle
+        # the entire text column for nothing)
+        try:
+            self._text_nparts = self.corpus_text.rdd.getNumPartitions()
+        except Exception:
+            self._text_nparts = 0
         self._bank: ShardedSeenFilter | None = None
         self._bank_bc = None  # this round's broadcast handle (destroyed per round)
         self._seen_total = 0  # cumulative seen-host count (gates the bank)
@@ -161,8 +170,17 @@ class CrawlEngine:
                      .otherwise(F.array(F.col("seed"))))
         else:
             cands = F.array(F.col("seed"))
+        # width sized by the WORK (~134x explode fan-out, ~25k rows/task),
+        # not by the core count: a 1200-seed list at local[32] would
+        # otherwise spin up 32 near-idle Python-UDF workers (measured ~10 s
+        # of the 30 s bench crawl); a 10^8-seed list still fans out to
+        # every core
+        fanout = len(core.merged_prefixes(list(cfg.custom_prefixes))) + 1 \
+            if cfg.expand_sld else 1
+        width = max(1, min(self.spark.sparkContext.defaultParallelism,
+                           (len(seeds) * fanout) // 25_000 + 1))
         df = (cleaned
-              .repartition(self.spark.sparkContext.defaultParallelism)
+              .repartition(width)
               .select(F.explode(cands).alias("host"))
               .select("host",
                       F.coalesce(udfs.udf_get_root("host"),
@@ -401,11 +419,16 @@ class CrawlEngine:
         if small_round:
             fetched_hosts = F.broadcast(fetched_hosts)
         width = self.spark.sparkContext.defaultParallelism
-        base_pages = (fetched_hosts.join(self.corpus_text, "host")
-                      # the join runs at the text scan's split count (could be
-                      # 1-2 splits); spread the fetched captions across all
-                      # cores before the CPU-heavy extraction
-                      .repartition(width, "host"))
+        base_pages = fetched_hosts.join(self.corpus_text, "host")
+        # The join's output parallelism is the text scan's split count (the
+        # fetched subset stays SPREAD across scan splits — the broadcast
+        # probe filters in place). Repartition before the CPU-heavy
+        # extraction ONLY when the scan is narrower than the cores (tiny
+        # fixture corpora written as 1-2 files); when splits >= cores the
+        # shuffle moves every fetched caption for nothing — at 100 TB it
+        # would reshuffle the whole text column.
+        if 0 < self._text_nparts < width:
+            base_pages = base_pages.repartition(width, "host")
         if _os_mod.environ.get("SPARK_GRAFT_JVM_EXTRACT") == "1":
             pages = (base_pages
                      .select("host", "root",
@@ -531,9 +554,6 @@ class CrawlEngine:
                       flush=True)
             _t = time.monotonic()
 
-        pages.count()   # wave 1: computes + caches j and the extraction UDF
-        _mark("wave1 j+pages")
-
         def _timed_append(table, df, r):
             w0 = time.monotonic()
             self.io.append(table, df, r)
@@ -541,19 +561,21 @@ class CrawlEngine:
                 print(f"    [r{rnd}]   write {table}: "
                       f"{time.monotonic() - w0:.1f}s", flush=True)
 
-        # Wave 2a: the one write that FIRST-TOUCHES the remaining cache
-        # (seen → winner) runs alone. Wave 2b's writes then scan fully-cached
-        # data. Rationale: letting all five race (one big pool) makes tasks
-        # of the late jobs block on the cache locks of partitions the early
-        # jobs are computing — blocked tasks HOLD task slots, and at high
-        # core counts the convoy effect dominates (measured round 2 on the
+        # Wave 2a: the seen write's lineage (winner ← exploded ← pages ← j)
+        # covers every cache this round uses, so this ONE action both
+        # materializes them and writes — the separate wave-1 pages.count()
+        # job was a redundant scheduling pass (round-4 fold, advisor ask).
+        # Wave 2b's writes then scan fully-cached data. Rationale for the
+        # stages: letting all five race (one big pool) makes tasks of the
+        # late jobs block on the cache locks of partitions the early jobs
+        # are computing — blocked tasks HOLD task slots, and at high core
+        # counts the convoy effect dominates (measured round 2 on the
         # 9.5M-URL corpus at local[32]: 359 s all-concurrent vs 233 s
         # serialized; this staged form keeps the concurrency that is
-        # actually parallel). dns_log moved to wave 2b in round 3: it is a
-        # pure projection of the cached j since the dns columns were folded
-        # into the wave-1 join.
+        # actually parallel). dns_log is a pure projection of the cached j
+        # since the dns columns were folded into the wave-1 join.
         _timed_append("seen", shrink(novel_df), rnd)
-        _mark("wave2a seen")
+        _mark("wave2a seen (materializes j+pages+winner)")
         with ThreadPoolExecutor(max_workers=4) as pool:
             writes = [
                 pool.submit(_timed_append, "results", shrink2b(results), rnd),

@@ -691,6 +691,30 @@ ORDER BY ts DESC, event_id DESC LIMIT 50
 """
 
 
+def q_a2_rates(spark, sf_dir):
+    """A2 — rates as a first-class relational query (the reference computes
+    tasks/s / req/s live in the TUI, presenter/dashboard.go:178-221, and
+    never persists them): tumbling 1-hour windows per event_type with a
+    per-second rate.  Pure JVM groupBy(window) — partial-aggregated
+    map-side, shuffles only (bucket, type) pairs; at 100 TB the bucket
+    count grows with time span, not row count, so the shuffle stays tiny."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count(F.lit(1)).alias("requests"))
+             .select(F.col("w.start").alias("bucket"), "event_type",
+                     "requests",
+                     F.round(F.col("requests") / F.lit(3600.0), 4)
+                      .alias("rate_per_sec")))
+
+
+SQL_A2 = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+       count(*) AS requests,
+       round(count(*) / 3600.0, 4) AS rate_per_sec
+FROM events GROUP BY 1, 2
+"""
+
+
 _SESSION_GAP_US = 1800 * 1_000_000  # 30-minute inactivity gap
 
 
@@ -729,8 +753,14 @@ WITH x AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, event_id, us,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_id
+         -- DuckDB sum() over integers yields HUGEINT, which pandas converts
+         -- to float64 ('5.0') and the driver's canonicalizer then hash-
+         -- mismatches against Spark's bigint '5' — cast back to BIGINT.
+         -- (Audited the other oracles: this was the only uncast integer
+         -- aggregate in an OUTPUT column; sum(double)s stay DOUBLE.)
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM x
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -1217,6 +1247,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "a3_recent": q_a3_recent,
+    "a2_rates": q_a2_rates,
     "props_json": q_props_json,
     "sessionize": q_sessionize,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
@@ -1257,6 +1288,7 @@ def oracles() -> dict[str, str]:
         "cosine_topk": SQL_COSINE_TOPK,
         "ann_lsh_bucket": _sql_ann_lsh(),
         "a3_recent": SQL_A3,
+        "a2_rates": SQL_A2,
         "props_json": SQL_PROPS_JSON,
         "sessionize": SQL_SESSIONIZE,
         "emb_near_dup_pairs": _sql_emb_near_dup(),

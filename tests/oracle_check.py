@@ -82,6 +82,18 @@ def main(names: list[str] | None = None) -> int:
         g = frame_hash(got)
         w = frame_hash(want)
         ok = g == w
+        # the lenient canon_value collapses 5.0 -> 5, which MASKED the
+        # round-3 sessionize red row (DuckDB HUGEINT -> pandas float64 vs
+        # Spark int64; the driver's canonicalizer keeps the '.0').  Treat a
+        # numeric-KIND mismatch as a failure even when the hashes agree.
+        for c in set(got.columns) & set(want.columns):
+            gk = getattr(got[c].dtype, "kind", "O")
+            wk = getattr(want[c].dtype, "kind", "O")
+            if {gk, wk} == {"i", "f"} or {gk, wk} == {"u", "f"}:
+                ok = False
+                print(f"FAIL  {name}: column '{c}' dtype kind mismatch "
+                      f"spark={got[c].dtype} vs duck={want[c].dtype} "
+                      f"(driver canonicalizer would hash-mismatch)")
         if not ok:
             failures += 1
             print(f"FAIL  {name}: spark(rows={g[0]}, cols={g[1]}, h={g[2]}) "

@@ -195,3 +195,34 @@ def test_cli_resume_noop(cli_run, fixture_web):
     assert rc == 0
     after = ParquetSnapshotIO(spark, str(cli_run / "work")).committed_round()
     assert after == before
+
+
+def test_dashboard_renders(spark, fixture_web, tmp_path):
+    """--dashboard: the presenter twin (dashboard.py) repaints counters,
+    rates, success %, and a recent-discoveries ring per round — pure
+    driver-side (pyarrow head of the committed seen dir; no Spark jobs)."""
+    import io as _io
+
+    from subdomain_crawler_spark.dashboard import TextDashboard
+    from subdomain_crawler_spark.config import CrawlConfig
+    from subdomain_crawler_spark.plans.crawl import CrawlEngine
+
+    base = fixture_web["base"]
+    corpus = spark.read.parquet(f"{base}/corpus.parquet")
+    dns = spark.read.parquet(f"{base}/dns.parquet")
+    eng = CrawlEngine(spark, CrawlConfig(honor_robots=False),
+                      str(tmp_path / "crawl"), corpus, dns)
+    buf = _io.StringIO()
+    dash = TextDashboard(io=eng.io, out=buf)
+    stats = eng.run(seeds=fixture_web["seeds"], max_rounds=4,
+                    progress=dash.update)
+    text = buf.getvalue()
+    assert "subdomain-crawler-spark" in text
+    assert "recent discoveries" in text
+    assert f"rounds {len(stats)}" in text
+    # the ring shows real discovered hosts once any round found novelties
+    if any(s.unique_subdomains for s in stats):
+        assert any(line.startswith("│  ") and "." in line
+                   for line in text.splitlines())
+    # totals line carries the accumulated task count
+    assert str(sum(s.tasks_processed for s in stats)) in text

@@ -261,6 +261,12 @@ def test_jvm_extraction_parity(spark):
         "no title but a-b.example.com and -bad-.example.com and a..b",
         "",
         "proto-relative //static.example.com/x and deep.a.b.example.com",
+        # non-ASCII parity (round-4 advice): NBSP / ideographic-space token
+        # boundaries, Unicode-whitespace title edges, KELVIN-sign case fold
+        "nbsp x.example.com tail and　y.example.com　ok",
+        "<title>  padded  title  </title> z.example.com",
+        "kelvin Kelvin.example.com and long-s ſad.example.com",
+        "héllo wörld café.example.com plain.example.com",
     ]
     root = "example.com"
     import pandas as pd

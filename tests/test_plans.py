@@ -129,3 +129,47 @@ def test_crawl_fetch_join_broadcasts_frontier(spark, fixture_web, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in p_big
     assert "BroadcastHashJoin" not in p_big
+
+
+def test_sessionize_salted_parity(spark):
+    """The salted two-phase sessionize (operators/sessions.py — hot-user
+    scale form) must equal the single-window shape ROW FOR ROW on skewed
+    data, across bucket sizes both larger and smaller than the gap
+    (bucket < gap exercises the sparse-bucket boundary merge through the
+    previous NON-EMPTY bucket)."""
+    import datetime as dt
+
+    import pandas as pd
+    from subdomain_crawler_spark.operators import sessions
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    eid = 0
+    # hot user 1: 3 days of events — dense 5-min runs with occasional
+    # >30-min breaks, plus exact-boundary gaps (== gap, and gap+1us)
+    t = t0
+    for i in range(400):
+        step = (dt.timedelta(minutes=5) if i % 7 else
+                dt.timedelta(minutes=31))
+        if i == 100:
+            step = dt.timedelta(seconds=1800)                  # == gap: same session
+        if i == 200:
+            step = dt.timedelta(seconds=1800, microseconds=1)  # > gap: new session
+        t = t + step
+        rows.append((1, eid, t)); eid += 1
+    # normal users: few events each, some spanning midnight boundaries
+    for u in range(2, 12):
+        for k in range(5):
+            rows.append((u, eid, t0 + dt.timedelta(hours=23, minutes=50 + u)
+                         + dt.timedelta(minutes=20 * k))); eid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_id", "ts"]))
+
+    want = sorted(map(tuple, sessions.sessionize_simple(df).collect()))
+    for bucket_us in (86_400_000_000,      # 1 day  (bucket >> gap)
+                      3_600_000_000,       # 1 hour (bucket 2x gap)
+                      900_000_000):        # 15 min (bucket < gap!)
+        got = sorted(map(tuple,
+                         sessions.sessionize_salted(
+                             df, bucket_us=bucket_us).collect()))
+        assert got == want, f"bucket_us={bucket_us}"

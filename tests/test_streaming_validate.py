@@ -94,10 +94,17 @@ def test_validate_fixture_corpus_self(spark, fixture_web):
     assert n == ok > 0
 
 
-def test_streaming_stateful_dedup(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("state_mode", ["exact", "bloom"])
+def test_streaming_stateful_dedup(spark, tmp_path, state_mode):
     """applyInPandasWithState seen-filter: novel hosts pass, repeats are
     dropped WITHIN a batch, ACROSS micro-batches, and ACROSS query restarts
-    (state rides the checkpoint)."""
+    (state rides the checkpoint).  Runs both state representations: exact
+    host-array state and the constant-memory serialized-bloom state (the
+    10^10-host form; at this capacity the FP rate is ~0 so the outputs
+    must be identical)."""
     import json
     import os
 
@@ -113,7 +120,8 @@ def test_streaming_stateful_dedup(spark, tmp_path):
         raw = (spark.readStream.format("json")
                .schema("host string, root string, depth int")
                .load(str(src)))
-        novel = streaming_seen_filter(raw, shards=4)
+        novel = streaming_seen_filter(raw, shards=4, state_mode=state_mode,
+                                      bloom_capacity=10_000, bloom_fp=1e-6)
 
         def sink(batch, batch_id):
             (batch.coalesce(1).write.mode("append").parquet(out_dir))
