@@ -27,11 +27,15 @@ import time
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", str(cpus))
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("subdomain-crawler-bench")
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.default.parallelism", str(cpus))
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""))
+        .config("spark.task.cpus", os.environ.get("SPARK_GRAFT_TASK_CPUS", "1"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")

@@ -149,7 +149,7 @@ def get_depth_one(domain: str) -> int:
     not a dotted suffix) returns 0 — both quirks preserved.
     """
     domain = canonicalize_one(domain)
-    root = psl.etld_plus_one(domain)
+    root = psl.etld_plus_one_fast(domain)
     if root is None:
         return domain.count(".") + 1
     if domain == root:

@@ -285,3 +285,26 @@ def test_jvm_extraction_parity(spark):
                       if c == root or c.endswith("." + root)]
         assert list(row.cands) == want_scope, text
         assert row.title == core.extract_title_one(text), text
+
+
+def test_etld_fast_path_parity():
+    """psl.etld_plus_one_fast (rfind fast path for single-rule TLDs) must
+    equal the full rule walk on every rule class: plain gTLD, multi-label
+    (co.uk/edu.cn/com.br), wildcard (*.ck), exception (!www.ck), unknown
+    TLD (default '*' rule), and every invalid form."""
+    import random
+
+    from subdomain_crawler_spark.functions import psl
+
+    cases = ["example.com", "a.b.example.com", "foo.co.uk", "co.uk", "uk",
+             "x.gov.cn", "deep.a.edu.cn", "bar.ck", "www.ck", "x.www.ck",
+             "a.b.ck", "name.uk", "xyz.unknowntld", "single", "", ".com",
+             "com.", "a..b", "x.ah.cn", "sub.site.com.br", "q.ac.jp",
+             "t.co.in", "x.y.z.gov.br", "only.ck", "a.io"]
+    rng = random.Random(7)
+    cases += [f"h{rng.randrange(99)}.s{rng.randrange(999)}.{t}"
+              for t in ("com", "cn", "co.uk", "edu.cn", "ck", "jp", "xyz",
+                        "zz")
+              for _ in range(25)]
+    for c in cases:
+        assert psl.etld_plus_one_fast(c) == psl.etld_plus_one(c), c

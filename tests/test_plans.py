@@ -173,3 +173,32 @@ def test_sessionize_salted_parity(spark):
                          sessions.sessionize_salted(
                              df, bucket_us=bucket_us).collect()))
         assert got == want, f"bucket_us={bucket_us}"
+
+
+def test_a2_rates_partial_aggregate(spark):
+    """A2 rates is a tumbling-window groupBy: two HashAggregates around one
+    exchange (map-side combine — per-bucket partials collapse before the
+    shuffle; the shuffled key space is (bucket, event_type), which grows
+    with time span, not row count)."""
+    p = plan(dq.q_a2_rates(spark, SF))
+    assert p.count("HashAggregate") >= 2
+    assert p.count("Exchange") <= 2
+    assert "Window" not in p  # tumbling window = project + group, no W-node
+
+
+def test_sessionize_salted_phase2_is_aggregated(spark):
+    """The salted sessionize's cross-bucket reconciliation window must read
+    the per-(user, bucket) AGGREGATE, not the event stream: the plan has a
+    partial-aggregated groupBy feeding the phase-2 Window, and the heavy
+    phase-1 Window partitions by (user_id, bkt) — never by user_id alone."""
+    from subdomain_crawler_spark.operators import sessions
+
+    e = spark.read.parquet(f"{SF}/events.parquet") \
+        .select("user_id", "event_id", "ts")
+    p = plan(sessions.sessionize_salted(e))
+    assert "partial_min" in p or "partial_max" in p  # phase-2 input is an agg
+    # phase-1 window keys: user_id AND bkt (hot-user shard key present)
+    import re
+    wspecs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert wspecs, p
+    assert any("bkt" in w and "user_id" in w for w in wspecs)
