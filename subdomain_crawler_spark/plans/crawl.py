@@ -405,16 +405,19 @@ class CrawlEngine:
         # same frontier-size threshold as the fetch-join: a 10^10-row round
         # would OOM the driver if broadcast unconditionally); the captions
         # stream scan → extraction and are dropped before the cache.
-        # Default = the fused Arrow pandas UDF (ONE batch pass). Both paths
-        # were built and A/B-measured (BENCH/BASELINE.md §1): the pure-JVM
-        # Catalyst chain (functions/jvm.py — regexp_extract_all /
-        # array_distinct / filter, same dot-token fast path) avoids the
-        # Arrow IPC entirely but Java's backtracking regex measures ~2×
-        # slower than the C regex engine on prose-heavy pages, and the UDF
-        # path won min-wall on both bench corpora — so "UDFs are the slow
-        # path" loses to measurement here. SPARK_GRAFT_JVM_EXTRACT=1 opts
-        # into the JVM chain (semantics-equal: parity test + goldens run
-        # both ways), the right choice for Python-worker-free executors.
+        # THREE semantics-equal extraction regimes, selected by
+        # SPARK_GRAFT_EXTRACT = fused (default) | hybrid | jvm
+        # (SPARK_GRAFT_JVM_EXTRACT=1 keeps forcing jvm for back-compat).
+        # A/B history: round 3 measured the pure-JVM Catalyst chain ~2×
+        # slower per core than the fused Arrow UDF (Java backtracking regex
+        # vs C). Round 4 hypothesized the fused path was Arrow-IPC-bound
+        # at multi-core and built the hybrid (JVM-side dot-token reduction
+        # so only dot-bearing tokens cross into the C-regex UDF; JVM
+        # title) — MEASURED 1.8× SLOWER (255 vs 143 s, local[4], 24k
+        # prose corpus): Java's regex split materializes ~10^9 token
+        # objects and the allocation/GC churn dwarfs the Arrow savings.
+        # Negative result kept selectable + recorded in BENCH/BASELINE.md
+        # §3a; the fused ONE-Arrow-pass UDF stays the default.
         fetched_hosts = j.filter("fetched").select("host", "root")
         if small_round:
             fetched_hosts = F.broadcast(fetched_hosts)
@@ -429,18 +432,42 @@ class CrawlEngine:
         # would reshuffle the whole text column.
         if 0 < self._text_nparts < width:
             base_pages = base_pages.repartition(width, "host")
+        mode = _os_mod.environ.get("SPARK_GRAFT_EXTRACT", "fused")
         if _os_mod.environ.get("SPARK_GRAFT_JVM_EXTRACT") == "1":
+            mode = "jvm"
+        if mode == "jvm":
+            # pure-Catalyst chain: zero Arrow traffic, but Java's
+            # backtracking regex is ~2× the C engine per core
             pages = (base_pages
                      .select("host", "root",
                              jvm_fns.extract_in_scope("caption", "root")
                              .alias("cands"),
                              jvm_fns.extract_title("caption").alias("title"))
                      .persist())
-        else:
+        elif mode == "fused":
+            # one Arrow pass over the FULL text (round-3 default): C regex,
+            # but every caption byte crosses JVM→Arrow→Python
             pages = (base_pages
                      .withColumn("pf", udfs.udf_page_features("caption", "root"))
                      .select("host", "root", F.col("pf.cands").alias("cands"),
                              F.col("pf.title").alias("title"))
+                     .persist())
+        else:
+            # hybrid (round-4 default, A/B-measured in BENCH/BASELINE.md
+            # §3a): the dot-token reduction runs JVM-side, so only
+            # dot-bearing tokens (20-50× fewer bytes on prose) cross the
+            # Arrow boundary into the C-regex kernel; the title — which
+            # needs the full text — is extracted by the JVM regexp
+            # (parity-pinned incl. non-ASCII). Best of both: C regex for
+            # the backtracking-heavy host pattern, JVM for the linear
+            # scans, minimal Arrow IPC — at 100 TB the boundary traffic
+            # IS the extraction cost.
+            pages = (base_pages
+                     .select("host", "root",
+                             udfs.udf_cands_in_scope(
+                                 jvm_fns.reduce_dotted("caption"),
+                                 F.col("root")).alias("cands"),
+                             jvm_fns.extract_title("caption").alias("title"))
                      .persist())
 
         exploded = pages.select(
