@@ -248,6 +248,19 @@ def scaling() -> None:
 
 def scaling_one() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Measured auto-tune (BENCH/BASELINE.md §2a): this box's memory bus
+    # saturates at ~8 concurrent heavy tasks, and past saturation extra
+    # concurrency actively hurts (128 -> 84 s min on the 9.5 M corpus).
+    # For LARGE scaling corpora at high core counts, cap concurrent tasks
+    # at ~8 via spark.task.cpus while keeping every core available to each
+    # task's JVM/Python pipeline. Small corpora (e.g. the driver bench
+    # config) stay uncapped — the cap measurably loses there (§2b).
+    # SPARK_GRAFT_TASK_CPUS always wins when set explicitly.
+    hosts = (int(os.environ.get("SPARK_GRAFT_SCALING_ROOTS", "12000"))
+             * int(os.environ.get("SPARK_GRAFT_SCALING_HPR", "24")))
+    if ("SPARK_GRAFT_TASK_CPUS" not in os.environ and cpus > 8
+            and hosts >= 500_000):
+        os.environ["SPARK_GRAFT_TASK_CPUS"] = str(cpus // 8)
     spark = build_spark(cpus)
     out = run_scaling_crawl(spark, cpus)
     spark.stop()
