@@ -1201,7 +1201,45 @@ def q_minhash_lsh_pairs(spark, sf_dir):
              .select("a", "b").distinct())
 
 
-def _sql_minhash_lsh_pairs() -> str:
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup GROUPING — the pipeline step after pair generation: connected
+    components of the MinHash-LSH pair graph, labeled by the component's
+    minimum doc_id.  Iterative min-label propagation over DataFrames: each
+    round every node takes min(own label, neighbors' labels); converges in
+    O(component diameter) rounds (near-dup clusters are shallow — dup
+    clusters of size k have diameter ≤ k and k is small by construction of
+    the banded join).  The per-round work is one shuffle join + one
+    partial-aggregated groupBy — no collect of row data; the driver only
+    reads the per-round converged-count.  Scale form for adversarial
+    diameters: the large-star/small-star alternation (O(log n) rounds,
+    same per-round shape) — this simple form IS the production shape for
+    dedup workloads, where components are tiny and 2-3 rounds suffice."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    labels = (edges.select(F.col("a").alias("id")).distinct()
+              .withColumn("label", F.col("id")).persist())
+    for _ in range(20):
+        prop = (edges.join(labels, edges["b"] == labels["id"])
+                .select(F.col("a").alias("id"), "label"))
+        new_labels = (labels.unionByName(prop)
+                      .groupBy("id").agg(F.min("label").alias("label"))
+                      .persist())
+        improved = (new_labels.join(
+            labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") < F.col("old")).count())
+        labels.unpersist()
+        labels = new_labels
+        if improved == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("group_id"))
+
+
+def _sql_minhash_pair_ctes() -> str:
+    """Shared WITH-chain ending in ``pairs`` (the LSH candidate pairs) —
+    used by both the pairs oracle and the dedup_groups oracle."""
     a, b = text_k._minhash_coeffs(64, 42)
     p = text_k._MINHASH_P
     # coalesce(…, p) handles zero-shingle docs (Spark sig = [p]*64)
@@ -1217,10 +1255,35 @@ sig AS (
          md5(b.band::VARCHAR || ':' ||
              array_to_string(sig[b.band*8 + 1 : b.band*8 + 8], ',')) AS bh
   FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) b
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.bh = y.bh AND x.doc_id < y.doc_id
+)"""
+
+
+def _sql_minhash_lsh_pairs() -> str:
+    return _sql_minhash_pair_ctes() + "\nSELECT a, b FROM pairs\n"
+
+
+def _sql_dedup_groups() -> str:
+    """Connected components of the LSH pair graph as a recursive CTE:
+    transitive closure over the symmetrized edges, then min reachable id
+    (== the component's minimum doc_id, the same label the Spark
+    min-label propagation converges to). Closure is fine at oracle scale;
+    the engine side uses iterative label propagation."""
+    ctes = _sql_minhash_pair_ctes().lstrip()
+    assert ctes.startswith("WITH ")
+    return ("WITH RECURSIVE " + ctes[len("WITH "):] + """,
+edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+), reach AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION
+  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
 )
-SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-FROM bands x JOIN bands y ON x.bh = y.bh AND x.doc_id < y.doc_id
-"""
+SELECT id AS doc_id, least(id, min(r)) AS group_id
+FROM reach GROUP BY id
+""")
 
 
 QUERIES = {
@@ -1259,6 +1322,7 @@ QUERIES = {
     "minhash_signature": q_minhash_signature,
     "simhash64": q_simhash64,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_groups": q_dedup_groups,
 }
 
 
@@ -1296,6 +1360,7 @@ def oracles() -> dict[str, str]:
         "minhash_signature": _sql_minhash(),
         "simhash64": _sql_simhash(),
         "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
+        "dedup_groups": _sql_dedup_groups(),
         # x2: closed-form oracle for the synthetic input family (general
         # urlparse semantics pinned by unit tests — see q_x2_extract_html)
         "x2_extract_html": SQL_X2,
