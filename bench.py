@@ -219,7 +219,8 @@ def scaling() -> None:
     # level-dependent frontier (nondeterminism or a parallelism bug) would
     # silently corrupt the efficiency numbers
     all_fronts = set().union(*fronts.values())
-    assert len(all_fronts) == 1, f"frontier_urls differ across trials: {fronts}"
+    if len(all_fronts) != 1:  # explicit raise: survives `python -O`
+        raise RuntimeError(f"frontier_urls differ across trials: {fronts}")
     frontier_urls = all_fronts.pop()
     results = {}
     for cpus in levels:

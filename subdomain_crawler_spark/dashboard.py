@@ -39,25 +39,55 @@ class TextDashboard:
         self.novel = 0
         self.rounds = 0
         self.ring: list[str] = []
+        self.active: list[str] = []
         self._painted = False
 
     # -- data ----------------------------------------------------------------
 
     def _peek_ring(self, rnd: int) -> None:
-        """Driver-side head of the committed seen/round=N dir (no Spark job)."""
+        """Driver-side TAIL of the committed seen/round=N dir (no Spark job).
+
+        The reference ring holds the most recent K discoveries
+        (dashboard.go:241-247) — the last rows written, so read the tail of
+        the round's rows, not the file head."""
         if self.io is None:
             return
         try:
             import pyarrow.dataset as ds
 
             path = self.io.round_dir("seen", rnd)
-            hosts = (ds.dataset(path).head(self.ring_size)
-                     .column("host").to_pylist())
+            col = ds.dataset(path).to_table(columns=["host"]).column("host")
+            hosts = col.to_pylist()[-self.ring_size:]
         except Exception:
             return
         for h in hosts:
             self.ring.append(str(h))
         self.ring = self.ring[-self.ring_size:]
+
+    def _peek_active(self, rnd: int) -> None:
+        """ActiveDomains twin (crawl_usecase.go:173-183, domain.go:55): the
+        reference samples each live worker's current domain on the metrics
+        tick; the Spark analog is the distinct roots in the frontier the
+        round just processed — a driver-side pyarrow peek at the committed
+        frontier/round=N dir, bounded rows, no Spark job."""
+        if self.io is None:
+            return
+        try:
+            import pyarrow.dataset as ds
+
+            path = self.io.round_dir("frontier", rnd)
+            roots = (ds.dataset(path).head(4096, columns=["root"])
+                     .column("root").to_pylist())
+        except Exception:
+            return
+        out: list[str] = []
+        for r in roots:
+            r = str(r)
+            if r not in out:
+                out.append(r)
+            if len(out) >= 6:
+                break
+        self.active = out
 
     def update(self, st) -> None:
         """Feed one RoundStats; repaint."""
@@ -69,29 +99,35 @@ class TextDashboard:
         self.errors += st.error_count
         self.novel += st.unique_subdomains
         self._peek_ring(st.round)
+        self._peek_active(st.round)
         self.render()
 
     # -- view ----------------------------------------------------------------
+
+    _W = 66  # inner panel width; every row is padded/clipped to this
 
     def render(self) -> None:
         up = time.monotonic() - self.t0
         rate = lambda n: f"{n / up:.1f}/s" if up > 0 else "-"
         attempts = self.success + self.errors
         pct = 100.0 * self.success / attempts if attempts else 0.0
+        W = self._W
+        row = lambda s: f"│{s:<{W}.{W}}│"  # pad + clip: no overflow, no rag
         lines = [
-            "┌─ subdomain-crawler-spark ─ live ──────────────────────────┐",
-            f"│ uptime {up:8.1f}s   rounds {self.rounds:<4}"
-            f"  success {pct:5.1f}%              │",
-            f"│ tasks  {self.tasks:>10}  ({rate(self.tasks):>10})"
-            f"   http {self.http:>10} ({rate(self.http):>10}) │",
-            f"│ dns    {self.dns:>10}  ({rate(self.dns):>10})"
-            f"   new  {self.novel:>10} ({rate(self.novel):>10}) │",
-            "├─ recent discoveries ──────────────────────────────────────┤",
+            "┌─ subdomain-crawler-spark ─ live " + "─" * (W - 33) + "┐",
+            row(f" uptime {up:8.1f}s   rounds {self.rounds:<4}"
+                f"  success {pct:5.1f}%"),
+            row(f" tasks  {self.tasks:>10}  ({rate(self.tasks):>10})"
+                f"   http {self.http:>10} ({rate(self.http):>10})"),
+            row(f" dns    {self.dns:>10}  ({rate(self.dns):>10})"
+                f"   new  {self.novel:>10} ({rate(self.novel):>10})"),
+            row(" active " + (", ".join(self.active) or "(idle)")),
+            "├─ recent discoveries " + "─" * (W - 21) + "┤",
         ]
         shown = self.ring[-self.ring_size:] or ["(none yet)"]
         for h in shown:
-            lines.append(f"│  {h:<57}│")
-        lines.append("└───────────────────────────────────────────────────────────┘")
+            lines.append(row(f"  {h}"))
+        lines.append("└" + "─" * W + "┘")
         tty = getattr(self.out, "isatty", lambda: False)()
         if tty and self._painted:
             # repaint in place: move cursor up over the previous frame

@@ -435,6 +435,10 @@ class CrawlEngine:
         mode = _os_mod.environ.get("SPARK_GRAFT_EXTRACT", "fused")
         if _os_mod.environ.get("SPARK_GRAFT_JVM_EXTRACT") == "1":
             mode = "jvm"
+        if mode not in ("fused", "hybrid", "jvm"):
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRACT={mode!r}: expected one of "
+                "'fused' (default), 'hybrid', 'jvm'")
         if mode == "jvm":
             # pure-Catalyst chain: zero Arrow traffic, but Java's
             # backtracking regex is ~2× the C engine per core
@@ -453,8 +457,9 @@ class CrawlEngine:
                              F.col("pf.title").alias("title"))
                      .persist())
         else:
-            # hybrid (round-4 default, A/B-measured in BENCH/BASELINE.md
-            # §3a): the dot-token reduction runs JVM-side, so only
+            # hybrid (round-4 negative-result option — measured 1.8× SLOWER
+            # than the fused default in BENCH/BASELINE.md §3a, kept
+            # selectable for A/B): the dot-token reduction runs JVM-side, so only
             # dot-bearing tokens (20-50× fewer bytes on prose) cross the
             # Arrow boundary into the C-regex kernel; the title — which
             # needs the full text — is extracted by the JVM regexp

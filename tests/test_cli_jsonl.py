@@ -226,3 +226,41 @@ def test_dashboard_renders(spark, fixture_web, tmp_path):
                    for line in text.splitlines())
     # totals line carries the accumulated task count
     assert str(sum(s.tasks_processed for s in stats)) in text
+    # ActiveDomains twin: the active-roots line shows frontier roots
+    assert "│ active " in text
+    active_lines = [l for l in text.splitlines() if l.startswith("│ active ")]
+    assert any("." in l for l in active_lines)
+    # no panel line overflows the box (long hostnames are truncated)
+    widths = {len(l) for l in text.splitlines() if l.startswith("│")}
+    assert len(widths) == 1, f"ragged panel lines: {sorted(widths)}"
+
+
+def test_dashboard_ring_is_tail_and_truncated(tmp_path):
+    """Ring semantics: most recent K discoveries = the TAIL of the committed
+    round's rows (dashboard.go:241-247), and hostnames longer than the panel
+    width are clipped rather than overflowing the border."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from subdomain_crawler_spark.dashboard import TextDashboard
+
+    class _FakeIO:
+        def round_dir(self, table, rnd):
+            return str(tmp_path / table / f"round={rnd}")
+
+    seen_dir = tmp_path / "seen" / "round=1"
+    seen_dir.mkdir(parents=True)
+    hosts = [f"h{i:03d}.example.com" for i in range(30)]
+    hosts.append("x" * 80 + ".example.com")  # 92 chars — must be clipped
+    pq.write_table(pa.table({"host": hosts}), seen_dir / "part-0.parquet")
+
+    buf = _io.StringIO()
+    dash = TextDashboard(io=_FakeIO(), ring_size=5, out=buf)
+    dash._peek_ring(1)
+    # tail of the rows, not the file head
+    assert dash.ring == hosts[-5:]
+    dash.render()
+    widths = {len(l) for l in buf.getvalue().splitlines() if l.startswith("│")}
+    assert len(widths) == 1, f"ragged panel lines: {sorted(widths)}"
