@@ -1102,17 +1102,16 @@ def q_minhash_signature(spark, sf_dir):
     return d.select("doc_id", F.array_join(sig, ",").alias("minhash"))
 
 
-def _sql_minhash_xs() -> str:
-    """Shared CTE chain: per-doc list of shingle hashes (poly-257 mod 2^31-1
-    over 5-char windows of the ws-collapsed text) — functions/text.py
-    minhash_signatures twin."""
+def _sql_minhash_xs(table: str = "documents") -> str:
+    """Shared CTE chain (no WITH prefix — callers compose it): per-doc list
+    of shingle hashes (poly-257 mod 2^31-1 over 5-char windows of the
+    ws-collapsed text) — functions/text.py minhash_signatures twin."""
     p = text_k._MINHASH_P
-    return f"""
-WITH t AS (
+    return f"""t AS (
   SELECT doc_id, array_to_string(
            list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> ''),
            ' ') AS tt
-  FROM documents
+  FROM {table}
 ), sh AS (
   SELECT doc_id, CASE
       WHEN length(tt) = 0 THEN []::VARCHAR[]
@@ -1142,7 +1141,7 @@ def _sql_minhash() -> str:
         f"list_min(list_transform(xs, x -> ({int(ai)}*x + {int(bi)}) % {p}))::VARCHAR"
         for ai, bi in zip(a, b))
     empty = ",".join([str(p)] * 64)
-    return f"""{_sql_minhash_xs()}
+    return f"""WITH {_sql_minhash_xs()}
 SELECT d.doc_id,
        CASE WHEN xs IS NULL THEN '{empty}'
             ELSE concat_ws(',', {terms}) END AS minhash
@@ -1177,14 +1176,15 @@ FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
 
-def q_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash LSH near-dup candidate pairs: band the 64-perm signature into
-    8 bands × 8 rows, hash each band with md5 (SQL-portable — both engines
-    produce identical hex digests of the same band string), self-join on the
-    band hash, dedup pairs. The banded self-join bounds the pair explosion —
-    the 100 TB-safe shape."""
-    d = _docs_wide(spark, sf_dir)
-    sig = d.select("doc_id", udfs.udf_minhash64("text").alias("sig"))
+def _lsh_band_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate pairs over ``docs(doc_id, text)``: band the
+    64-perm signature into 8 bands × 8 rows, hash each band with md5
+    (SQL-portable — both engines produce identical hex digests of the same
+    band string), self-join on the band hash, dedup pairs. The banded
+    self-join bounds the pair explosion — the 100 TB-safe shape, PROVIDED
+    exact duplicates were collapsed first (q_dedup_pipeline): k identical
+    docs share every band bucket → k(k-1)/2 pairs per bucket."""
+    sig = docs.select("doc_id", udfs.udf_minhash64("text").alias("sig"))
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -1201,55 +1201,42 @@ def q_minhash_lsh_pairs(spark, sf_dir):
              .select("a", "b").distinct())
 
 
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash LSH near-dup candidate pairs over the documents table — see
+    _lsh_band_pairs for the banding shape."""
+    return _lsh_band_pairs(_docs_wide(spark, sf_dir))
+
+
 def q_dedup_groups(spark, sf_dir):
     """Near-dup GROUPING — the pipeline step after pair generation: connected
     components of the MinHash-LSH pair graph, labeled by the component's
-    minimum doc_id.  Iterative min-label propagation over DataFrames: each
-    round every node takes min(own label, neighbors' labels); converges in
-    O(component diameter) rounds (near-dup clusters are shallow — dup
-    clusters of size k have diameter ≤ k and k is small by construction of
-    the banded join).  The per-round work is one shuffle join + one
-    partial-aggregated groupBy — no collect of row data; the driver only
-    reads the per-round converged-count.  Scale form for adversarial
-    diameters: the large-star/small-star alternation (O(log n) rounds,
-    same per-round shape) — this simple form IS the production shape for
-    dedup workloads, where components are tiny and 2-3 rounds suffice."""
+    minimum doc_id.  Delegates to operators/components.py: min-label
+    propagation with pointer-jumping compression (O(log diameter) rounds,
+    one shuffle join + partial-agg groupBy + cached-table jump join per
+    round, exact Observation-sum convergence proof, RAISES rather than
+    returning unconverged labels — closes the round-4 silent-cap finding)."""
+    from ..operators.components import connected_components
+
     pairs = q_minhash_lsh_pairs(spark, sf_dir)
-    edges = pairs.unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
-    labels = (edges.select(F.col("a").alias("id")).distinct()
-              .withColumn("label", F.col("id")).persist())
-    for _ in range(20):
-        prop = (edges.join(labels, edges["b"] == labels["id"])
-                .select(F.col("a").alias("id"), "label"))
-        new_labels = (labels.unionByName(prop)
-                      .groupBy("id").agg(F.min("label").alias("label"))
-                      .persist())
-        improved = (new_labels.join(
-            labels.withColumnRenamed("label", "old"), "id")
-            .filter(F.col("label") < F.col("old")).count())
-        labels.unpersist()
-        labels = new_labels
-        if improved == 0:
-            break
-    edges.unpersist()
+    labels = connected_components(pairs, "a", "b")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("group_id"))
 
 
-def _sql_minhash_pair_ctes() -> str:
-    """Shared WITH-chain ending in ``pairs`` (the LSH candidate pairs) —
-    used by both the pairs oracle and the dedup_groups oracle."""
+def _sql_minhash_pair_ctes(table: str = "documents") -> str:
+    """Shared CTE chain (no WITH prefix) ending in ``pairs`` (the LSH
+    candidate pairs over ``table``) — used by the pairs oracle, the
+    dedup_groups oracle, and the dedup_pipeline oracle."""
     a, b = text_k._minhash_coeffs(64, 42)
     p = text_k._MINHASH_P
     # coalesce(…, p) handles zero-shingle docs (Spark sig = [p]*64)
     terms = ", ".join(
         f"coalesce(list_min(list_transform(xs, x -> ({int(ai)}*x + {int(bi)}) % {p})), {p})"
         for ai, bi in zip(a, b))
-    return f"""{_sql_minhash_xs()},
+    return f"""{_sql_minhash_xs(table)},
 sig AS (
   SELECT d.doc_id, [{terms}] AS sig
-  FROM documents d LEFT JOIN xs ON d.doc_id = xs.doc_id
+  FROM {table} d LEFT JOIN xs ON d.doc_id = xs.doc_id
 ), bands AS (
   SELECT doc_id,
          md5(b.band::VARCHAR || ':' ||
@@ -1262,27 +1249,78 @@ sig AS (
 
 
 def _sql_minhash_lsh_pairs() -> str:
-    return _sql_minhash_pair_ctes() + "\nSELECT a, b FROM pairs\n"
+    return "WITH " + _sql_minhash_pair_ctes() + "\nSELECT a, b FROM pairs\n"
 
 
-def _sql_dedup_groups() -> str:
-    """Connected components of the LSH pair graph as a recursive CTE:
-    transitive closure over the symmetrized edges, then min reachable id
-    (== the component's minimum doc_id, the same label the Spark
-    min-label propagation converges to). Closure is fine at oracle scale;
-    the engine side uses iterative label propagation."""
-    ctes = _sql_minhash_pair_ctes().lstrip()
-    assert ctes.startswith("WITH ")
-    return ("WITH RECURSIVE " + ctes[len("WITH "):] + """,
+# recursive transitive closure over symmetrized `pairs` → `cc(id, group_id)`
+# (the same component-minimum label the Spark propagation converges to);
+# closure is fine at oracle scale, the engine side iterates
+_SQL_CC_CTES = """
 edges AS (
   SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
 ), reach AS (
   SELECT a AS id, b AS r FROM edges
   UNION
   SELECT reach.id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
-)
-SELECT id AS doc_id, least(id, min(r)) AS group_id
-FROM reach GROUP BY id
+), cc AS (
+  SELECT id, least(id, min(r)) AS group_id
+  FROM reach GROUP BY id
+)"""
+
+
+def _sql_dedup_groups() -> str:
+    return ("WITH RECURSIVE " + _sql_minhash_pair_ctes() + "," + _SQL_CC_CTES
+            + "\nSELECT id AS doc_id, group_id FROM cc\n")
+
+
+def q_dedup_pipeline(spark, sf_dir):
+    """The COMPOSED dedup pipeline in its documented production order:
+    exact dedup BEFORE sketching (round-4 review: the k² band-bucket
+    guard).  k byte-identical documents share every LSH band bucket, so
+    banding the raw corpus costs k(k-1)/2 candidate pairs per clone set —
+    quadratic on a dup-heavy web corpus.  Collapsing exact duplicates to
+    one representative first makes bucket sizes reflect NEAR-dup structure
+    only; the representative count, not the raw doc count, drives the
+    self-join.
+
+    Stages: fingerprint64 (exact content hash, Arrow kernel) →
+    min-doc_id representative per fingerprint (hash groupBy + equi-join) →
+    MinHash-LSH banding over representatives only (_lsh_band_pairs) →
+    connected components (operators/components.py) → expand group ids back
+    through the exact-dup map (one join).  Output: (doc_id, group_id) for
+    EVERY document; group_id = min doc_id over the doc's exact+near dup
+    closure."""
+    from ..operators.components import connected_components
+
+    d = _docs_wide(spark, sf_dir)
+    fp = d.select("doc_id", udfs.udf_fingerprint64("text").alias("fp64"))
+    reps = fp.groupBy("fp64").agg(F.min("doc_id").alias("rep_id"))
+    repmap = fp.join(reps, "fp64").select("doc_id", "rep_id").persist()
+    repdocs = d.join(
+        repmap.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id")
+    labels = connected_components(_lsh_band_pairs(repdocs), "a", "b")
+    out = (repmap.join(labels, repmap["rep_id"] == labels["id"], "left")
+           .select("doc_id",
+                   F.coalesce("label", "rep_id").alias("group_id")))
+    return out
+
+
+def _sql_dedup_pipeline() -> str:
+    """DuckDB twin of the full composed pipeline: same fingerprint fold,
+    same representative rule, the SAME minhash/banding CTEs re-rooted on
+    the representative docs, recursive-CTE closure, then expansion."""
+    return (f"""WITH RECURSIVE fp AS (
+  SELECT doc_id, {_sql_fp61('text')} AS fp64 FROM documents
+), reps AS (
+  SELECT fp64, min(doc_id) AS rep_id FROM fp GROUP BY fp64
+), repmap AS (
+  SELECT f.doc_id, r.rep_id FROM fp f JOIN reps r USING (fp64)
+), repdocs AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN reps r ON d.doc_id = r.rep_id
+), """ + _sql_minhash_pair_ctes("repdocs") + "," + _SQL_CC_CTES + """
+SELECT m.doc_id, coalesce(cc.group_id, m.rep_id) AS group_id
+FROM repmap m LEFT JOIN cc ON m.rep_id = cc.id
 """)
 
 
@@ -1323,6 +1361,7 @@ QUERIES = {
     "simhash64": q_simhash64,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_groups": q_dedup_groups,
+    "dedup_pipeline": q_dedup_pipeline,
 }
 
 
@@ -1361,6 +1400,7 @@ def oracles() -> dict[str, str]:
         "simhash64": _sql_simhash(),
         "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
         "dedup_groups": _sql_dedup_groups(),
+        "dedup_pipeline": _sql_dedup_pipeline(),
         # x2: closed-form oracle for the synthetic input family (general
         # urlparse semantics pinned by unit tests — see q_x2_extract_html)
         "x2_extract_html": SQL_X2,
