@@ -247,6 +247,74 @@ def scaling() -> None:
     print(json.dumps(report, indent=2))
 
 
+def scaling_warm() -> None:
+    """Warm-JVM supplementary protocol (round-4 review ask): ONE JVM per
+    level runs 1 warmup + T timed crawls over identical cached input.
+
+    Run 0 pays the fresh-JVM JIT + first-stage-codegen floor (~10-20 s,
+    BENCH/BASELINE.md §3c) that a long-running production cluster amortizes
+    across hours of work; runs 1..T measure the steady state the north rule
+    is actually about.  Run 0 is ALSO reported — it is exactly one
+    fresh-protocol sample, so a single pass yields both protocols' numbers.
+    Levels run sequentially (a warm JVM cannot be interleaved across noise
+    windows); the interleaved fresh protocol (--scaling) remains available
+    and the report says which produced each figure."""
+    import statistics
+
+    n_roots = int(os.environ.get("SPARK_GRAFT_SCALING_ROOTS", "12000"))
+    hpr = int(os.environ.get("SPARK_GRAFT_SCALING_HPR", "24"))
+    bloat = int(os.environ.get("SPARK_GRAFT_SCALING_BLOAT", "500"))
+    trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+    levels = tuple(int(x) for x in os.environ.get(
+        "SPARK_GRAFT_SCALING_LEVELS", "1,4").split(","))
+    scaling_web_dir(n_roots, hpr, bloat)  # pre-generate once (pyarrow-only)
+    per_level: dict[int, dict] = {}
+    fronts: set[int] = set()
+    for cpus in levels:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_SCALING_ROOTS=str(n_roots),
+                   SPARK_GRAFT_SCALING_HPR=str(hpr),
+                   SPARK_GRAFT_SCALING_BLOAT=str(bloat),
+                   SPARK_GRAFT_SCALING_RUNS=str(trials + 1),
+                   SPARK_GRAFT_MAX_ROUNDS=os.environ.get(
+                       "SPARK_GRAFT_MAX_ROUNDS", "3"))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-one"],
+            env=env, capture_output=True, text=True, check=True)
+        runs = json.loads(proc.stdout.strip().splitlines()[-1])["runs"]
+        fronts.update(r["frontier_urls"] for r in runs)
+        walls = [r["wall_sec"] for r in runs]
+        warm = walls[1:]
+        per_level[cpus] = {
+            "wall_run0_fresh": walls[0],
+            "walls_warm": warm,
+            "warm_min": min(warm),
+            "warm_median": round(statistics.median(warm), 2),
+        }
+        print(f"  local[{cpus}]: fresh {walls[0]}s, warm {warm}",
+              file=sys.stderr, flush=True)
+    if len(fronts) != 1:  # identical-work invariant (see scaling())
+        raise RuntimeError(f"frontier_urls differ across runs: {fronts}")
+    frontier_urls = fronts.pop()
+    report = {
+        "corpus": f"{n_roots} roots x {hpr} hosts, {bloat}-word captions",
+        "protocol": (f"warm-JVM: one subprocess per level, 1 warmup + "
+                     f"{trials} timed runs; run 0 doubles as a fresh-JVM "
+                     f"sample; levels sequential"),
+        "frontier_urls": frontier_urls,
+        **{f"local{c}": per_level[c] for c in levels},
+    }
+    for a in levels:
+        if a * 4 in per_level:
+            lo, hi = per_level[a], per_level[a * 4]
+            for est in ("warm_min", "warm_median"):
+                report[f"eff_{a}_to_{a*4}_{est}"] = round(
+                    lo[est] / hi[est] / 4, 3)
+            report[f"eff_{a}_to_{a*4}_fresh_run0"] = round(
+                lo["wall_run0_fresh"] / hi["wall_run0_fresh"] / 4, 3)
+    print(json.dumps(report, indent=2))
+
+
 def scaling_one() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # Measured auto-tune (BENCH/BASELINE.md §2a): this box's memory bus
@@ -262,15 +330,20 @@ def scaling_one() -> None:
     if ("SPARK_GRAFT_TASK_CPUS" not in os.environ and cpus > 8
             and hosts >= 500_000):
         os.environ["SPARK_GRAFT_TASK_CPUS"] = str(cpus // 8)
+    runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "1"))
     spark = build_spark(cpus)
-    out = run_scaling_crawl(spark, cpus)
+    outs = [run_scaling_crawl(spark, cpus) for _ in range(runs)]
     spark.stop()
-    print(json.dumps(out))
+    # single-run prints the bare dict (the fresh protocol's parser);
+    # multi-run wraps them for the warm protocol
+    print(json.dumps(outs[0] if runs == 1 else {"runs": outs}))
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--scaling-warm" in sys.argv:
+        scaling_warm()
     elif "--scaling-one" in sys.argv:
         scaling_one()
     else:

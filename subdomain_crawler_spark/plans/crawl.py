@@ -118,12 +118,49 @@ class CrawlEngine:
         # cap rides INSIDE the column pruning — no full-body row ever reaches
         # the extraction UDF, and content_length is clamped to the cap
         cap = cfg.max_response_size
-        self.corpus_meta = corpus.select(
+        base_meta = corpus.select(
             "host", "proto_ok", "status_code",
             F.least(F.length("caption"), F.lit(cap)).cast("int")
              .alias("content_length"))
+        if "redirect_to" in corpus.columns:
+            # redirect chains (fetcher.go:33-38) resolved ONCE per crawl as
+            # a static graph closure (operators/redirects.py); the tiny
+            # resolution table is materialized eagerly (localCheckpoint) so
+            # every round's meta lineage sees a leaf, then left-joined in.
+            # content_host = the terminal host whose body the client
+            # returns for this URL; fetch_error poisons both proto
+            # attempts exactly like the Go client erroring out.
+            from ..operators import redirects as rd
+            res = rd.resolve_redirects(
+                corpus.select("host", "status_code", "redirect_to",
+                              F.least(F.length("caption"), F.lit(cap))
+                              .cast("int").alias("content_length"))
+            ).localCheckpoint()
+            self.corpus_meta = (
+                base_meta.join(res, "host", "left")
+                .select(
+                    "host", "proto_ok",
+                    F.when(F.col("fetch_error").isNotNull(),
+                           F.lit(None).cast("int"))
+                     .otherwise(F.coalesce("final_status", "status_code"))
+                     .alias("status_code"),
+                    F.when(F.col("fetch_error").isNotNull(),
+                           F.lit(None).cast("int"))
+                     .otherwise(F.coalesce("final_content_length",
+                                           "content_length"))
+                     .alias("content_length"),
+                    F.coalesce("content_host", F.col("host"))
+                     .alias("content_host"),
+                    "fetch_error"))
+        else:
+            # no redirect column: identical behavior to pre-redirect builds
+            # (the two extra literal columns constant-fold downstream)
+            self.corpus_meta = base_meta.select(
+                "*", F.col("host").alias("content_host"),
+                F.lit(None).cast("string").alias("fetch_error"))
         self.corpus_text = corpus.select(
-            "host", F.substring("caption", 1, cap).alias("caption"))
+            F.col("host").alias("content_host"),
+            F.substring("caption", 1, cap).alias("caption"))
         self.dns = dns
         self.robots = robots
         # scan parallelism of the text column (metadata only — no job):
@@ -307,10 +344,11 @@ class CrawlEngine:
         else:
             j = (f.join(self.corpus_meta, "host", "left")
                   .join(self.dns, "host", "left"))
-        return (j.withColumn("ips", F.coalesce(F.col("ips"),
-                                               F.array().cast("array<string>")))
-                 .withColumn("rcode", F.coalesce(F.col("rcode"),
-                                                 F.lit(-1)).cast("int")))
+        return j.select(
+            *[c for c in j.columns if c not in ("ips", "rcode")],
+            F.coalesce(F.col("ips"),
+                       F.array().cast("array<string>")).alias("ips"),
+            F.coalesce(F.col("rcode"), F.lit(-1)).cast("int").alias("rcode"))
 
     def _run_round(self, rnd: int, frontier: DataFrame,
                    tasks_processed: int) -> tuple[RoundStats, int]:
@@ -346,20 +384,37 @@ class CrawlEngine:
         # the small-round path broadcasts frontier-sized EXTRACTS instead.
         f = active_f
         small_round = tasks_processed <= BROADCAST_FRONTIER_MAX
-        j = self._join_frontier(f, small_round).withColumn(
-            "active", F.col("depth") <= F.lit(cfg.max_depth))
-
+        # fetch-outcome columns composed as ONE projection, not a
+        # withColumn chain: each withColumn layers a Project node the
+        # analyzer re-resolves per round — 8 nested layers measurably
+        # widen the per-round driver-serial planning floor (BENCH §3c);
+        # inlining the shared subexpressions keeps the tree one level deep
+        # (execution cost is identical — codegen CSEs the duplicates)
+        active = F.col("depth") <= F.lit(cfg.max_depth)
         is2xx = (F.col("status_code") >= 200) & (F.col("status_code") < 300)
-        has = lambda p: F.coalesce(F.array_contains("proto_ok", p), F.lit(False))
-        j = (j.withColumn("https_ok", F.col("active") & has("https"))
-              .withColumn("fetched_https", F.col("https_ok") & is2xx)
-              .withColumn("http_att", F.col("active") & ~F.col("fetched_https"))
-              .withColumn("http_ok", F.col("http_att") & has("http"))
-              .withColumn("fetched_http", F.col("http_ok") & is2xx)
-              .withColumn("fetched", F.col("fetched_https") | F.col("fetched_http"))
-              .withColumn("proto", F.when(F.col("fetched_https"), "https")
-                                    .when(F.col("fetched_http"), "http"))
-              .drop("proto_ok")
+        # a redirect-resolution error (too many redirects / dead hop) fails
+        # the attempt exactly like a refused connection — the Go client
+        # returns an error from Do() either way (fetcher.go:46-49)
+        has = lambda p: (F.coalesce(F.array_contains("proto_ok", p),
+                                    F.lit(False))
+                         & F.col("fetch_error").isNull())
+        https_ok = active & has("https")
+        fetched_https = https_ok & is2xx
+        http_att = active & ~fetched_https
+        http_ok = http_att & has("http")
+        fetched_http = http_ok & is2xx
+        j0 = self._join_frontier(f, small_round)
+        j = (j0.select(
+                *[c for c in j0.columns if c != "proto_ok"],
+                active.alias("active"),
+                https_ok.alias("https_ok"),
+                fetched_https.alias("fetched_https"),
+                http_att.alias("http_att"),
+                http_ok.alias("http_ok"),
+                fetched_http.alias("fetched_http"),
+                (fetched_https | fetched_http).alias("fetched"),
+                F.when(fetched_https, "https").when(fetched_http, "http")
+                 .alias("proto"))
               .persist())
 
         # A1 counters ride on the http_log write as an observation — zero
@@ -389,7 +444,9 @@ class CrawlEngine:
             F.lit(proto_lit).alias("proto"),
             F.concat(F.lit(proto_lit + "://"), F.col("host")).alias("url"),
             F.when(ok_col, F.col("status_code")).alias("status_code"),
-            F.when(~ok_col, F.lit("connection refused")).alias("error"),
+            F.when(~ok_col, F.coalesce(F.col("fetch_error"),
+                                       F.lit("connection refused")))
+             .alias("error"),
         ))
         http_log = (j_observed.select(
             F.col("host"),
@@ -418,11 +475,17 @@ class CrawlEngine:
         # objects and the allocation/GC churn dwarfs the Arrow savings.
         # Negative result kept selectable + recorded in BENCH/BASELINE.md
         # §3a; the fused ONE-Arrow-pass UDF stays the default.
-        fetched_hosts = j.filter("fetched").select("host", "root")
+        # join the text column on content_host: for redirect sources the
+        # client returns the TERMINAL host's body (content_host != host);
+        # for everything else content_host == host and this is the same
+        # join as before
+        fetched_hosts = j.filter("fetched").select("host", "root",
+                                                   "content_host")
         if small_round:
             fetched_hosts = F.broadcast(fetched_hosts)
         width = self.spark.sparkContext.defaultParallelism
-        base_pages = fetched_hosts.join(self.corpus_text, "host")
+        base_pages = (fetched_hosts.join(self.corpus_text, "content_host")
+                      .drop("content_host"))
         # The join's output parallelism is the text scan's split count (the
         # fetched subset stays SPREAD across scan splits — the broadcast
         # probe filters in place). Repartition before the CPU-heavy

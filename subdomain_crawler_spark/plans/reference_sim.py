@@ -102,9 +102,11 @@ class ReferenceSimulator:
         self.cfg = cfg
         # T1 cap twin: bodies truncated at MaxResponseSize before anything
         # reads them (fetcher.go:84 io.LimitReader)
+        _redir = lambda v: v if isinstance(v, str) and v else None  # NaN→None
         self.corpus = {
             r.host: (set(r.proto_ok), int(r.status_code),
-                     r.caption[:cfg.max_response_size])
+                     r.caption[:cfg.max_response_size],
+                     _redir(getattr(r, "redirect_to", None)))
             for r in corpus.itertuples()
         }
         self.dns = {r.host: (list(r.ips), int(r.rcode)) for r in dns.itertuples()}
@@ -211,23 +213,44 @@ class ReferenceSimulator:
                 for proto in cfg.protocols:
                     entry = self.corpus.get(host)
                     ok = entry is not None and proto in entry[0]
+                    err = None if ok else "connection refused"
+                    final = entry
+                    if ok:
+                        # redirect chain twin (fetcher.go:33-38 / Go
+                        # CheckRedirect): follows 1..9 succeed, follow 10
+                        # is refused with "too many redirects"; a hop onto
+                        # a host with no corpus row is a dead connection.
+                        # The refusal check runs BEFORE the dead-hop
+                        # lookup, as in Go (the 10th request is never made)
+                        hops = 0
+                        while (final is not None and 300 <= final[1] < 400
+                               and final[3] is not None):
+                            hops += 1
+                            if hops >= 10:
+                                ok, err, final = (
+                                    False, "too many redirects", None)
+                                break
+                            final = self.corpus.get(final[3])
+                        if ok and final is None:
+                            ok, err = False, "connection refused"
                     m["http_requests"] += 1
                     http_log.append(dict(
                         round=rnd, host=host, proto=proto,
                         url=f"{proto}://{host}",
-                        status_code=entry[1] if ok else None,
-                        error=None if ok else "connection refused",
+                        status_code=final[1] if ok else None,
+                        error=err,
                     ))
                     if not ok:
                         m["error_count"] += 1
                         continue
-                    code = entry[1]
+                    code = final[1]
                     if 200 <= code < 300:
                         m["success_count"] += 1
                         fetched = True
-                        cands = core.extract_hosts_one(entry[2])
+                        fetched_body = final[2]
+                        cands = core.extract_hosts_one(final[2])
                         filtered = [c for c in cands if core.in_scope_one(c, root)]
-                        title = core.extract_title_one(entry[2])
+                        title = core.extract_title_one(final[2])
                         # global dedup (worker.go:164-178): novel only
                         for c in filtered:
                             if c not in seen:
@@ -251,7 +274,7 @@ class ReferenceSimulator:
                         round=rnd, domain=host, ips=ips,
                         subdomains=page_novel,
                         status=status_line(code), status_code=code,
-                        title=title, content_length=len(self.corpus[host][2]),
+                        title=title, content_length=len(fetched_body),
                         error="no response from any DNS server"
                               if rcode == -1 else None,
                     ))
