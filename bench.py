@@ -235,7 +235,11 @@ def scaling() -> None:
         }
     report = {
         "corpus": f"{n_roots} roots x {hpr} hosts, {bloat}-word captions",
-        "protocol": f"{trials} interleaved sweeps, fresh subprocess per trial",
+        "protocol": (f"{trials} interleaved sweeps, fresh subprocess per "
+                     f"trial, process tree pinned to N cores"
+                     if os.environ.get("SPARK_GRAFT_SCALING_PIN", "1") == "1"
+                     else f"{trials} interleaved sweeps, fresh subprocess "
+                          f"per trial, UNPINNED (legacy)"),
         **{f"local{c}": results[c] for c in levels},
     }
     for a in levels:
@@ -300,7 +304,10 @@ def scaling_warm() -> None:
         "corpus": f"{n_roots} roots x {hpr} hosts, {bloat}-word captions",
         "protocol": (f"warm-JVM: one subprocess per level, 1 warmup + "
                      f"{trials} timed runs; run 0 doubles as a fresh-JVM "
-                     f"sample; levels sequential"),
+                     f"sample; levels sequential; "
+                     + ("process tree pinned to N cores"
+                        if os.environ.get("SPARK_GRAFT_SCALING_PIN", "1")
+                        == "1" else "UNPINNED (legacy)")),
         "frontier_urls": frontier_urls,
         **{f"local{c}": per_level[c] for c in levels},
     }
@@ -317,6 +324,19 @@ def scaling_warm() -> None:
 
 def scaling_one() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Pin the WHOLE process tree (JVM + Python UDF workers) to `cpus`
+    # cores (round-5 protocol fix): bare local[N] on a 32-core box is NOT
+    # an N-core executor — GC, JIT-compiler, netty IO, and Arrow IPC
+    # threads free-ride on the 32-N idle cores, deflating the small-N wall
+    # and thus the measured N→4N efficiency. A real N-core-executor
+    # cluster gives those threads N cores too. sched_setaffinity is
+    # inherited by the JVM and every Python worker it forks.
+    # SPARK_GRAFT_SCALING_PIN=0 restores the unpinned legacy protocol.
+    if os.environ.get("SPARK_GRAFT_SCALING_PIN", "1") == "1":
+        try:
+            os.sched_setaffinity(0, set(range(cpus)))
+        except (AttributeError, OSError):
+            pass  # non-Linux: unpinned legacy behavior
     # Measured auto-tune (BENCH/BASELINE.md §2a): this box's memory bus
     # saturates at ~8 concurrent heavy tasks, and past saturation extra
     # concurrency actively hurts (128 -> 84 s min on the 9.5 M corpus).
