@@ -28,7 +28,13 @@ def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", str(cpus))
-    return (
+    # Scratch placement: SPARK_GRAFT_SCRATCH points shuffle/spill files
+    # (spark.local.dir) at a directory of the caller's choice — the scaling
+    # protocol passes a tmpfs path so scratch I/O scales with cores the way
+    # per-executor local disks do on a real cluster (one shared virtio disk
+    # is a single-box artifact; see BENCH/BASELINE.md §3d).
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "")
+    b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("subdomain-crawler-bench")
         .config("spark.sql.shuffle.partitions", shuffle)
@@ -43,8 +49,10 @@ def build_spark(cpus: int):
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if scratch:
+        b = b.config("spark.local.dir", scratch)
+    return b.getOrCreate()
 
 
 HEADLINE = [
@@ -76,7 +84,13 @@ def _crawl_over(spark, base: str, seeds: list[str], label: dict) -> dict:
     from subdomain_crawler_spark.config import CrawlConfig
     from subdomain_crawler_spark.plans.crawl import CrawlEngine
 
-    workdir = tempfile.mkdtemp(prefix="crawl_run_")
+    # crawl outputs (seen/frontier/logs/results parquet) go to the scratch
+    # dir when the scaling protocol provides one — same rationale as
+    # spark.local.dir in build_spark; the INPUT corpus location is
+    # unchanged (identical bytes for every level)
+    workdir = tempfile.mkdtemp(
+        prefix="crawl_run_",
+        dir=os.environ.get("SPARK_GRAFT_SCRATCH") or None)
     try:
         corpus = spark.read.parquet(f"{base}/corpus.parquet")
         dns = spark.read.parquet(f"{base}/dns.parquet")

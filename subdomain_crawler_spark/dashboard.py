@@ -49,15 +49,22 @@ class TextDashboard:
 
         The reference ring holds the most recent K discoveries
         (dashboard.go:241-247) — the last rows written, so read the tail of
-        the round's rows, not the file head."""
+        the round's rows, not the file head.  The read is BOUNDED: fragments
+        are walked from the last file backwards and only until ring_size
+        rows are in hand, so a billion-row round costs the driver one or two
+        trailing row groups, never the whole column."""
         if self.io is None:
             return
         try:
             import pyarrow.dataset as ds
 
             path = self.io.round_dir("seen", rnd)
-            col = ds.dataset(path).to_table(columns=["host"]).column("host")
-            hosts = col.to_pylist()[-self.ring_size:]
+            hosts: list = []
+            for frag in reversed(list(ds.dataset(path).get_fragments())):
+                col = frag.to_table(columns=["host"]).column("host")
+                hosts = col.to_pylist()[-(self.ring_size - len(hosts)):] + hosts
+                if len(hosts) >= self.ring_size:
+                    break
         except Exception:
             return
         for h in hosts:

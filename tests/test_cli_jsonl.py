@@ -264,3 +264,11 @@ def test_dashboard_ring_is_tail_and_truncated(tmp_path):
     dash.render()
     widths = {len(l) for l in buf.getvalue().splitlines() if l.startswith("│")}
     assert len(widths) == 1, f"ragged panel lines: {sorted(widths)}"
+
+    # multi-file round: the bounded walk reads files from the LAST backwards
+    # and the ring spans the file boundary when the last file is short
+    tail2 = ["t0.example.com", "t1.example.com"]
+    pq.write_table(pa.table({"host": tail2}), seen_dir / "part-1.parquet")
+    dash2 = TextDashboard(io=_FakeIO(), ring_size=5, out=_io.StringIO())
+    dash2._peek_ring(1)
+    assert dash2.ring == hosts[-3:] + tail2
