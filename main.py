@@ -151,17 +151,24 @@ def main(argv: list[str] | None = None) -> int:
     if not (args.resume and engine.resume_round() > 0):
         seeds = read_seeds(args.seeds)
 
+    dash = None
     if args.dashboard:
         from subdomain_crawler_spark.dashboard import TextDashboard
 
-        progress = TextDashboard(io=engine.io).update
+        dash = TextDashboard(io=engine.io)
+        dash.start_ticker()  # 1 Hz animated repaint (TTY only)
+        progress = dash.update
     else:
         progress = lambda st: print(
             f"round {st.round}: processed={st.tasks_processed} "
             f"novel={st.unique_subdomains} enqueued={st.tasks_enqueued} "
             f"({st.wall_sec:.1f}s)", file=sys.stderr)
-    stats = engine.run(seeds=seeds, max_rounds=args.max_rounds,
-                       progress=progress)
+    try:
+        stats = engine.run(seeds=seeds, max_rounds=args.max_rounds,
+                           progress=progress)
+    finally:
+        if dash is not None:
+            dash.stop_ticker()
 
     last = engine.io.committed_round()
     if last >= 0:

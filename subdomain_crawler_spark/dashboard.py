@@ -9,17 +9,23 @@ driver-side pyarrow peek at the just-committed ``seen`` round directory for
 the discoveries ring (local parquet head — again no Spark job, mirroring
 A3's ring semantics of "most recent K discoveries").
 
-Rendering is plain ANSI text to stderr, refreshed per round: a Spark crawl
-advances in rounds, not per-task ticks, so a per-round repaint carries
-exactly the same information content as the reference's 1 Hz timer
-(dashboard.go:186 ticker) without a terminal-UI dependency.  When the
-stream is not a TTY the repaint escape codes are suppressed and rounds
-append — log-friendly.
+Rendering is plain ANSI text to stderr.  Two cadences compose:
+
+* per-round ``update()`` — new counter/ring/active DATA arrives only when a
+  round commits (a Spark crawl advances in rounds, not per-task ticks);
+* an optional 1 Hz ticker thread (``start_ticker()``) — the animated-repaint
+  twin of the reference's ``time.Tick(1s)`` loop (dashboard.go:186): between
+  rounds the uptime clock and the derived /s rates keep advancing, so the
+  panel visibly ticks once a second exactly as the termui screen does.
+
+The ticker only runs on a TTY; when the stream is not a TTY the repaint
+escape codes are suppressed and rounds append — log-friendly.
 """
 
 from __future__ import annotations
 
 import sys
+import threading
 import time
 
 
@@ -41,6 +47,36 @@ class TextDashboard:
         self.ring: list[str] = []
         self.active: list[str] = []
         self._painted = False
+        self._lock = threading.RLock()  # update() vs ticker repaint
+        self._stop = threading.Event()
+        self._ticker: threading.Thread | None = None
+
+    # -- 1 Hz animation (dashboard.go:186 ticker twin) -----------------------
+
+    def start_ticker(self, hz: float = 1.0) -> None:
+        """Repaint the panel ``hz`` times a second from a daemon thread so
+        uptime and the derived rates animate between round commits, like the
+        reference's termui tick loop.  TTY-only: on a non-TTY stream each
+        frame would append a new copy, so the ticker is a no-op there."""
+        tty = getattr(self.out, "isatty", lambda: False)()
+        if not tty or self._ticker is not None:
+            return
+        self._stop.clear()
+
+        def loop() -> None:
+            while not self._stop.wait(1.0 / hz):
+                self.render()
+
+        self._ticker = threading.Thread(
+            target=loop, name="dashboard-ticker", daemon=True)
+        self._ticker.start()
+
+    def stop_ticker(self) -> None:
+        if self._ticker is None:
+            return
+        self._stop.set()
+        self._ticker.join(timeout=2.0)
+        self._ticker = None
 
     # -- data ----------------------------------------------------------------
 
@@ -97,23 +133,29 @@ class TextDashboard:
         self.active = out
 
     def update(self, st) -> None:
-        """Feed one RoundStats; repaint."""
-        self.rounds += 1
-        self.tasks += st.tasks_processed
-        self.http += st.http_requests
-        self.dns += st.dns_requests
-        self.success += st.success_count
-        self.errors += st.error_count
-        self.novel += st.unique_subdomains
-        self._peek_ring(st.round)
-        self._peek_active(st.round)
-        self.render()
+        """Feed one RoundStats; repaint.  Serialized against the ticker so a
+        mid-mutation frame can never be painted."""
+        with self._lock:
+            self.rounds += 1
+            self.tasks += st.tasks_processed
+            self.http += st.http_requests
+            self.dns += st.dns_requests
+            self.success += st.success_count
+            self.errors += st.error_count
+            self.novel += st.unique_subdomains
+            self._peek_ring(st.round)
+            self._peek_active(st.round)
+            self.render()
 
     # -- view ----------------------------------------------------------------
 
     _W = 66  # inner panel width; every row is padded/clipped to this
 
     def render(self) -> None:
+        with self._lock:
+            self._render_locked()
+
+    def _render_locked(self) -> None:
         up = time.monotonic() - self.t0
         rate = lambda n: f"{n / up:.1f}/s" if up > 0 else "-"
         attempts = self.success + self.errors

@@ -272,3 +272,42 @@ def test_dashboard_ring_is_tail_and_truncated(tmp_path):
     dash2 = TextDashboard(io=_FakeIO(), ring_size=5, out=_io.StringIO())
     dash2._peek_ring(1)
     assert dash2.ring == hosts[-3:] + tail2
+
+
+def test_dashboard_ticker_animates_and_is_tty_gated():
+    """1 Hz ticker (dashboard.go:186 time.Tick twin): on a TTY the panel
+    repaints between round commits (uptime/rates animate); on a non-TTY
+    stream the ticker is a no-op so log output never duplicates frames."""
+    import io as _io
+    import time as _time
+
+    from subdomain_crawler_spark.dashboard import TextDashboard
+
+    class _Tty(_io.StringIO):
+        def isatty(self):
+            return True
+
+    tty = _Tty()
+    dash = TextDashboard(io=None, out=tty)
+    dash.render()  # frame 0 (update() would normally paint it)
+    dash.start_ticker(hz=20.0)  # fast tick so the test stays sub-second
+    try:
+        deadline = _time.monotonic() + 2.0
+        while (tty.getvalue().count("subdomain-crawler-spark") < 3
+               and _time.monotonic() < deadline):
+            _time.sleep(0.02)
+    finally:
+        dash.stop_ticker()
+    frames = tty.getvalue().count("subdomain-crawler-spark")
+    assert frames >= 3, f"ticker painted only {frames} frame(s)"
+    # in-place repaint: every frame after the first rewinds the cursor
+    assert tty.getvalue().count("\x1b[") >= frames - 1
+    assert dash._ticker is None  # stop_ticker() joined and cleared it
+
+    # non-TTY: start_ticker is a no-op — no thread, no appended frames
+    buf = _io.StringIO()
+    dash2 = TextDashboard(io=None, out=buf)
+    dash2.start_ticker(hz=50.0)
+    assert dash2._ticker is None
+    _time.sleep(0.1)
+    assert buf.getvalue() == ""
