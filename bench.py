@@ -283,6 +283,10 @@ def scaling_warm() -> None:
     hpr = int(os.environ.get("SPARK_GRAFT_SCALING_HPR", "24"))
     bloat = int(os.environ.get("SPARK_GRAFT_SCALING_BLOAT", "500"))
     trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+    if trials < 1:
+        # trials=0 would make scaling_one print the bare single-run dict
+        # (no "runs" key) and leave the warm sample empty — fail loudly
+        raise SystemExit("scaling_warm needs SPARK_GRAFT_SCALING_TRIALS >= 1")
     levels = tuple(int(x) for x in os.environ.get(
         "SPARK_GRAFT_SCALING_LEVELS", "1,4").split(","))
     scaling_web_dir(n_roots, hpr, bloat)  # pre-generate once (pyarrow-only)

@@ -54,6 +54,11 @@ def resolve_redirects(meta: DataFrame) -> DataFrame:
       "too many redirects".
     * chain walks onto a host with no corpus row within the cap →
       fetch_error "connection refused" (dead hop).
+
+    When fetch_error is non-null the terminal columns are NULL — a failed
+    chain reached no terminal, so a mid-chain endpoint's status/length must
+    not masquerade as one (round-5 ADVICE: the contract implied the fields
+    describe a successfully reached terminal).
     """
     is3xx = (F.col("status_code") >= 300) & (F.col("status_code") < 400)
     chains = (meta.filter(is3xx & F.col("redirect_to").isNotNull())
@@ -74,15 +79,16 @@ def resolve_redirects(meta: DataFrame) -> DataFrame:
     terminal = meta.select(F.col("host").alias("_th"),
                            F.col("status_code").alias("_tstatus"),
                            F.col("content_length").alias("_tclen"))
+    err = (F.when(F.col("hops") > MAX_FOLLOWS, F.lit(TOO_MANY))
+           .when(F.col("_th").isNull(), F.lit(REFUSED)))
     out = (chains.join(terminal, chains["cur"] == terminal["_th"], "left")
            .select(
                "host",
-               F.col("cur").alias("content_host"),
-               F.col("_tstatus").alias("final_status"),
-               F.col("_tclen").alias("final_content_length"),
-               F.when(F.col("hops") > MAX_FOLLOWS, F.lit(TOO_MANY))
-                .when(F.col("_th").isNull(), F.lit(REFUSED))
-                .alias("fetch_error")))
+               F.when(err.isNull(), F.col("cur")).alias("content_host"),
+               F.when(err.isNull(), F.col("_tstatus")).alias("final_status"),
+               F.when(err.isNull(), F.col("_tclen"))
+                .alias("final_content_length"),
+               err.alias("fetch_error")))
     # NOTE the closure plan references `chains` twice per doubling round —
     # 2^4 copies of the source subtree.  Callers should materialize the
     # (tiny) result ONCE, e.g. localCheckpoint(), so per-round plans see a

@@ -122,7 +122,8 @@ class CrawlEngine:
             "host", "proto_ok", "status_code",
             F.least(F.length("caption"), F.lit(cap)).cast("int")
              .alias("content_length"))
-        if "redirect_to" in corpus.columns:
+        self._redirects = "redirect_to" in corpus.columns
+        if self._redirects:
             # redirect chains (fetcher.go:33-38) resolved ONCE per crawl as
             # a static graph closure (operators/redirects.py); the tiny
             # resolution table is materialized eagerly (localCheckpoint) so
@@ -153,11 +154,13 @@ class CrawlEngine:
                      .alias("content_host"),
                     "fetch_error"))
         else:
-            # no redirect column: identical behavior to pre-redirect builds
-            # (the two extra literal columns constant-fold downstream)
+            # no redirect column: identical behavior to pre-redirect builds.
+            # fetch_error is a null literal (constant-folds downstream); a
+            # content_host column is NOT added — aliasing host would store
+            # the string column TWICE in the per-round j cache (~hundreds
+            # of MB per 10^7-row round); consumers alias host at read time
             self.corpus_meta = base_meta.select(
-                "*", F.col("host").alias("content_host"),
-                F.lit(None).cast("string").alias("fetch_error"))
+                "*", F.lit(None).cast("string").alias("fetch_error"))
         self.corpus_text = corpus.select(
             F.col("host").alias("content_host"),
             F.substring("caption", 1, cap).alias("caption"))
@@ -422,18 +425,28 @@ class CrawlEngine:
         # a redirect-resolution error (too many redirects / dead hop) fails
         # the attempt exactly like a refused connection — the Go client
         # returns an error from Do() either way (fetcher.go:46-49)
-        has = lambda p: (F.coalesce(F.array_contains("proto_ok", p),
-                                    F.lit(False))
-                         & F.col("fetch_error").isNull())
+        # per-proto AVAILABILITY (protocol present on the host's corpus row)
+        # is kept separate from fetch success: the Go client checks the
+        # listener first and never follows the chain for an absent protocol
+        # (reference_sim.py:213-216), so a redirect-chain error
+        # (fetch_error) must NOT leak into the unavailable proto's log row
+        avail = lambda p: F.coalesce(F.array_contains("proto_ok", p),
+                                     F.lit(False))
+        has = lambda p: avail(p) & F.col("fetch_error").isNull()
         https_ok = active & has("https")
         fetched_https = https_ok & is2xx
         http_att = active & ~fetched_https
         http_ok = http_att & has("http")
         fetched_http = http_ok & is2xx
         j0 = self._join_frontier(f, small_round)
+        # depth is folded into `active` and proto_ok into the avail/ok
+        # flags — neither raw column is read downstream, so neither is
+        # cached (every dropped column is one fewer per-round cache pass)
         j = (j0.select(
-                *[c for c in j0.columns if c != "proto_ok"],
+                *[c for c in j0.columns if c not in ("proto_ok", "depth")],
                 active.alias("active"),
+                avail("https").alias("https_avail"),
+                avail("http").alias("http_avail"),
                 https_ok.alias("https_ok"),
                 fetched_https.alias("fetched_https"),
                 http_att.alias("http_att"),
@@ -467,21 +480,33 @@ class CrawlEngine:
         )
 
         # ---- http log (S3): one row per attempt, failures included ----------
-        attempt = lambda proto_lit, att_col, ok_col: F.when(att_col, F.struct(
-            F.lit(proto_lit).alias("proto"),
-            F.concat(F.lit(proto_lit + "://"), F.col("host")).alias("url"),
-            F.when(ok_col, F.col("status_code")).alias("status_code"),
-            F.when(~ok_col, F.coalesce(F.col("fetch_error"),
-                                       F.lit("connection refused")))
-             .alias("error"),
-        ))
+        # error attribution order matches the Go client: an UNAVAILABLE
+        # protocol is a refused connection (the chain is never followed),
+        # only an available protocol can surface a redirect-chain
+        # fetch_error (too many redirects / dead hop)
+        # NOTE no url column: url == proto + "://" + host, fully derivable —
+        # storing it would write every host string TWICE per attempt row
+        # (~40% of the round's biggest log table at 10^7+ rows); the JSONL
+        # exporter derives it at export time (sources/jsonl.py)
+        attempt = lambda proto_lit, att_col, ok_col, avail_col: F.when(
+            att_col, F.struct(
+                F.lit(proto_lit).alias("proto"),
+                F.when(ok_col, F.col("status_code")).alias("status_code"),
+                F.when(~ok_col,
+                       F.when(~avail_col, F.lit("connection refused"))
+                        .otherwise(F.coalesce(F.col("fetch_error"),
+                                              F.lit("connection refused"))))
+                 .alias("error"),
+            ))
         http_log = (j_observed.select(
             F.col("host"),
             F.explode(F.filter(F.array(
-                attempt("https", F.col("active"), F.col("https_ok")),
-                attempt("http", F.col("http_att"), F.col("http_ok")),
+                attempt("https", F.col("active"), F.col("https_ok"),
+                        F.col("https_avail")),
+                attempt("http", F.col("http_att"), F.col("http_ok"),
+                        F.col("http_avail")),
             ), lambda x: x.isNotNull())).alias("a"))
-            .select(F.lit(rnd).alias("round"), "host", "a.proto", "a.url",
+            .select(F.lit(rnd).alias("round"), "host", "a.proto",
                     "a.status_code", "a.error"))
 
         # ---- extraction (X1+F2 fused with X3 title) --------------------------
@@ -506,8 +531,10 @@ class CrawlEngine:
         # client returns the TERMINAL host's body (content_host != host);
         # for everything else content_host == host and this is the same
         # join as before
-        fetched_hosts = j.filter("fetched").select("host", "root",
-                                                   "content_host")
+        fetched_hosts = j.filter("fetched").select(
+            "host", "root",
+            (F.col("content_host") if self._redirects
+             else F.col("host")).alias("content_host"))
         if small_round:
             fetched_hosts = F.broadcast(fetched_hosts)
         width = self.spark.sparkContext.defaultParallelism

@@ -1176,14 +1176,29 @@ FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
 
-def _lsh_band_pairs(docs: DataFrame) -> DataFrame:
+def _lsh_band_pairs(docs: DataFrame,
+                    bucket_cap: int | None = None) -> DataFrame:
     """MinHash-LSH candidate pairs over ``docs(doc_id, text)``: band the
     64-perm signature into 8 bands × 8 rows, hash each band with md5
     (SQL-portable — both engines produce identical hex digests of the same
     band string), self-join on the band hash, dedup pairs. The banded
     self-join bounds the pair explosion — the 100 TB-safe shape, PROVIDED
     exact duplicates were collapsed first (q_dedup_pipeline): k identical
-    docs share every band bucket → k(k-1)/2 pairs per bucket."""
+    docs share every band bucket → k(k-1)/2 pairs per bucket.
+
+    ``bucket_cap`` (round-5 review ask — the guard exact-dup collapse
+    can't provide against large NEAR-dup clone sets, e.g. template pages
+    differing by one token): a bucket with k > bucket_cap members emits
+    the full clique over its bucket_cap smallest doc_ids PLUS one star
+    edge from each remaining member to the bucket minimum —
+    O(cap² + k) pairs instead of O(k²).  NOTHING is dropped in the
+    grouping sense: every member stays connected through the bucket min,
+    so the connected components of the capped pair graph are PROVABLY
+    identical to the uncapped clique graph's (per bucket, star and clique
+    have the same span; components are unions over buckets).  Downstream
+    dedup grouping (and its closure-based oracle over uncapped pairs)
+    is therefore exact at any scale; only the raw pair LISTING differs,
+    which is why the standalone minhash_lsh_pairs query runs uncapped."""
     sig = docs.select("doc_id", udfs.udf_minhash64("text").alias("sig"))
     bands = sig.select(
         "doc_id",
@@ -1195,10 +1210,27 @@ def _lsh_band_pairs(docs: DataFrame) -> DataFrame:
                            F.array_join(F.transform(
                                "band_sig", lambda x: x.cast("string")), ",")))
     bands = bands.select("doc_id", bh.alias("bh"))
-    a = bands.select(F.col("doc_id").alias("a"), "bh")
-    b = bands.select(F.col("doc_id").alias("b"), "bh")
-    return (a.join(b, "bh").filter(F.col("a") < F.col("b"))
-             .select("a", "b").distinct())
+    if bucket_cap is None:
+        a = bands.select(F.col("doc_id").alias("a"), "bh")
+        b = bands.select(F.col("doc_id").alias("b"), "bh")
+        return (a.join(b, "bh").filter(F.col("a") < F.col("b"))
+                 .select("a", "b").distinct())
+    # rank within bucket (one sort riding the same bh shuffle the self-join
+    # needs anyway; a mega-bucket's sort is O(k log k) vs the O(k²) clique)
+    w = Window.partitionBy("bh").orderBy("doc_id")
+    ranked = bands.withColumn("rn", F.row_number().over(w))
+    head = ranked.filter(F.col("rn") <= bucket_cap)
+    clique = (head.select(F.col("doc_id").alias("a"), "bh")
+              .join(head.select(F.col("doc_id").alias("b"), "bh"), "bh")
+              .filter(F.col("a") < F.col("b")).select("a", "b"))
+    # star: overflow members → bucket min (rn==1 is the smallest doc_id,
+    # so a < b holds by construction)
+    star = (ranked.filter(F.col("rn") > bucket_cap)
+            .select(F.col("doc_id").alias("b"), "bh")
+            .join(ranked.filter(F.col("rn") == 1)
+                  .select(F.col("doc_id").alias("a"), "bh"), "bh")
+            .select("a", "b"))
+    return clique.unionByName(star).distinct()
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -1214,10 +1246,14 @@ def q_dedup_groups(spark, sf_dir):
     propagation with pointer-jumping compression (O(log diameter) rounds,
     one shuffle join + partial-agg groupBy + cached-table jump join per
     round, exact Observation-sum convergence proof, RAISES rather than
-    returning unconverged labels — closes the round-4 silent-cap finding)."""
+    returning unconverged labels — closes the round-4 silent-cap finding).
+    Pairs are generated with bucket_cap=64 (see _lsh_band_pairs: star
+    expansion keeps components provably identical to the uncapped graph,
+    so the closure oracle stays exact while near-dup clone sets can't
+    explode the candidate join)."""
     from ..operators.components import connected_components
 
-    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    pairs = _lsh_band_pairs(_docs_wide(spark, sf_dir), bucket_cap=64)
     labels = connected_components(pairs, "a", "b")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("group_id"))
@@ -1289,20 +1325,37 @@ def q_dedup_pipeline(spark, sf_dir):
     connected components (operators/components.py) → expand group ids back
     through the exact-dup map (one join).  Output: (doc_id, group_id) for
     EVERY document; group_id = min doc_id over the doc's exact+near dup
-    closure."""
-    from ..operators.components import connected_components
+    closure.
+
+    Cache hygiene (round-5 review ask): the intermediates (``repmap``
+    persist, the CC label checkpoint) are released before returning — the
+    result is eager-localCheckpoint'ed first so the release can't trigger
+    a recompute.  The output is the pipeline's SMALLEST table (two ids per
+    document), so the one extra materialization is cheap at any scale; its
+    blocks are freed when the caller drops the returned DataFrame."""
+    from ..operators.components import connected_components, \
+        free_checkpoint_blocks
 
     d = _docs_wide(spark, sf_dir)
     fp = d.select("doc_id", udfs.udf_fingerprint64("text").alias("fp64"))
-    reps = fp.groupBy("fp64").agg(F.min("doc_id").alias("rep_id"))
-    repmap = fp.join(reps, "fp64").select("doc_id", "rep_id").persist()
+    # one fingerprint scan + one shuffle: min-doc_id representative per
+    # fingerprint as a whole-partition window agg (the groupBy+re-join
+    # form scanned the Arrow UDF twice — round-5 review ask)
+    repmap = (fp.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("fp64")).alias("rep_id"))
+        .persist())
     repdocs = d.join(
         repmap.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
         "doc_id")
-    labels = connected_components(_lsh_band_pairs(repdocs), "a", "b")
+    labels = connected_components(
+        _lsh_band_pairs(repdocs, bucket_cap=64), "a", "b")
     out = (repmap.join(labels, repmap["rep_id"] == labels["id"], "left")
            .select("doc_id",
-                   F.coalesce("label", "rep_id").alias("group_id")))
+                   F.coalesce("label", "rep_id").alias("group_id"))
+           .localCheckpoint(eager=True))
+    repmap.unpersist()
+    free_checkpoint_blocks(labels)
     return out
 
 

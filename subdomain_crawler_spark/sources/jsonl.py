@@ -83,12 +83,17 @@ def export_http_jsonl(http_log: DataFrame, path: str,
     the reference's field order, UA header map, and explicit null response
     on failed attempts (artifact http.jsonl line 1).
 
-    The engine's internal http_log is flat (round, host, proto, url,
+    The engine's internal http_log is flat (round, host, proto,
     status_code, error) — transcript detail the offline corpus model never
     had (HTTP version, headers, body) is synthesized deterministically:
     proto 'HTTP/1.1', the UA request header, and — when ``corpus`` is given —
-    the caption as the response body (the corpus IS the web here)."""
+    the caption as the response body (the corpus IS the web here).  The
+    request url is DERIVED (proto + "://" + host): the engine stopped
+    persisting the redundant column — at 10^7+ attempt rows it doubled the
+    host bytes in the round's biggest log write."""
     h = http_log
+    if "url" not in h.columns:
+        h = h.withColumn("url", F.concat("proto", F.lit("://"), "host"))
     if corpus is not None:
         body_src = corpus.select("host", F.col("caption").alias("_body"))
         h = h.join(body_src, "host", "left")

@@ -66,7 +66,20 @@ class ParquetSnapshotIO:
         return os.path.join(self.base, table, f"round={round_no}")
 
     def append(self, table: str, df: DataFrame, round_no: int) -> None:
-        df.write.mode("overwrite").parquet(self.round_dir(table, round_no))
+        # Write-tier levers (A/B'd in BENCH/BASELINE.md; defaults measured):
+        # SPARK_GRAFT_LOG_CODEC overrides the parquet codec for these
+        # scratch-tier round tables (snappy default; lz4/zstd/uncompressed —
+        # the encode pass is a memory-bus pass, the binding resource of the
+        # write wave); SPARK_GRAFT_LOG_DICT=0 disables dictionary encoding
+        # (host/url columns are mostly-unique, so the dictionary build is a
+        # wasted hash+copy pass that falls back to plain anyway).
+        w = df.write.mode("overwrite")
+        codec = os.environ.get("SPARK_GRAFT_LOG_CODEC", "")
+        if codec:
+            w = w.option("compression", codec)
+        if os.environ.get("SPARK_GRAFT_LOG_DICT", "1") == "0":
+            w = w.option("parquet.enable.dictionary", "false")
+        w.parquet(self.round_dir(table, round_no))
 
     def read_round(self, table: str, round_no: int) -> DataFrame:
         return self.spark.read.parquet(self.round_dir(table, round_no))

@@ -60,3 +60,28 @@ def test_empty_pairs(spark):
     out = connected_components(
         _pairs(spark, []).filter(F.col("a") > 0))
     assert out.count() == 0
+
+
+def _persistent_rdd_ids(spark):
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+               .toArray())
+
+
+def test_no_leaked_cache_entries(spark):
+    """Round-5 review ask: every intermediate (edges persist, per-round
+    label checkpoints) must be released eagerly — only the RESULT's own
+    checkpoint blocks may remain, and free_checkpoint_blocks drops those.
+    Net persistent-RDD delta after the operator + explicit result free
+    must be zero (no waiting on the async ContextCleaner)."""
+    from subdomain_crawler_spark.operators.components import \
+        free_checkpoint_blocks
+
+    before = _persistent_rdd_ids(spark)
+    out = connected_components(
+        _pairs(spark, [(i, i + 1) for i in range(30)] + [(50, 51)]))
+    assert out.count() == 33
+    leaked = _persistent_rdd_ids(spark) - before
+    # the result itself is checkpoint-backed — exactly one live entry
+    assert len(leaked) <= 1, f"leaked cache entries: {leaked}"
+    free_checkpoint_blocks(out)
+    assert not (_persistent_rdd_ids(spark) - before)

@@ -79,7 +79,8 @@ def redirect_web(tmp_path_factory):
         + [(f"s10.{root}", 301, f"okchain.{root}")]
     seed_links = " ".join(
         ["a.example.com", "c.example.com", "e.example.com",
-         "loop1.example.com", "r1.example.com", "s1.example.com"])
+         "loop1.example.com", "ponly.example.com",
+         "r1.example.com", "s1.example.com"])
     rows = [
         # (host, status, redirect_to, caption)
         (root, 200, None, f"<title>Seed</title> {seed_links}"),
@@ -90,12 +91,18 @@ def redirect_web(tmp_path_factory):
         ("e.example.com", 307, None, "<title>E</title> frome.example.com"),
         ("loop1.example.com", 301, "loop2.example.com", ""),
         ("loop2.example.com", 301, "loop1.example.com", ""),
+        # http-ONLY redirect source into the loop (round-5 ADVICE): the
+        # https attempt must log 'connection refused' (protocol absent —
+        # the chain is never followed), the http attempt 'too many
+        # redirects'; a fetch_error leaking into the https row is the bug
+        ("ponly.example.com", 301, "loop1.example.com", ""),
         (f"okchain.{root}", 200, None,
          "<title>OK-Chain</title> viachain.example.com"),
     ] + [(h, s, t, "") for h, s, t in chain9 + chain10]
     corpus = pd.DataFrame({
         "host": [r[0] for r in rows],
-        "proto_ok": [["https", "http"]] * len(rows),
+        "proto_ok": [["http"] if r[0] == "ponly.example.com"
+                     else ["https", "http"] for r in rows],
         "status_code": [r[1] for r in rows],
         "redirect_to": pd.Series([r[2] for r in rows], dtype="object"),
         "caption": [r[3] for r in rows],
@@ -163,6 +170,11 @@ def test_redirect_http_log_errors(redirect_pair):
     assert ("loop1.example.com", "too many redirects") in errs
     assert ("s1.example.com", "too many redirects") in errs
     assert ("c.example.com", "connection refused") in errs
+    # availability-first attribution (round-5 ADVICE): the http-only
+    # redirect source logs refused for https, the chain error for http
+    per_proto = {(h, p): e for h, p, e, _ in key(got)}
+    assert per_proto[("ponly.example.com", "https")] == "connection refused"
+    assert per_proto[("ponly.example.com", "http")] == "too many redirects"
 
 
 def test_redirect_seen_frontier_metrics(redirect_pair):

@@ -97,3 +97,41 @@ def test_simhash_properties():
     assert a == text.simhash64_one("the quick brown fox jumps over the lazy dog".split())
     assert text.hamming64(a, b) < text.hamming64(a, c)
     assert text.simhash64_one([]) == 0
+
+
+def test_lsh_bucket_cap_bounds_pairs_and_preserves_groups(spark):
+    """Round-5 review ask: a large NEAR-dup clone set (template pages, one
+    differing token) floods every band bucket; the bucket cap must bound
+    the candidate-pair count at O(cap² + k) per bucket while the connected
+    components — the thing dedup actually consumes — stay IDENTICAL to the
+    uncapped clique graph's (star expansion preserves per-bucket
+    connectivity; nothing is dropped)."""
+    from subdomain_crawler_spark.plans.driver_queries import _lsh_band_pairs
+    from subdomain_crawler_spark.operators.components import (
+        connected_components)
+
+    n = 200
+    template = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+                "do eiusmod tempor incididunt ut labore et dolore magna "
+                "aliqua token_%d")
+    rows = [(i, template % i) for i in range(n)]
+    rows += [(1000 + i, f"completely distinct document number {i} with its "
+              f"own unrelated vocabulary entry {i * 37}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    cap = 8
+    capped = _lsh_band_pairs(docs, bucket_cap=cap)
+    n_capped = capped.count()
+    # 8 bands × (clique over cap + star for the rest) is the worst case for
+    # the clone set; the uncapped clique would be ≥ n(n-1)/2 = 19,900
+    bound = 8 * (cap * (cap - 1) // 2 + (n - cap))
+    assert n_capped <= bound, (n_capped, bound)
+    assert n_capped < n * (n - 1) // 2
+
+    # grouping equivalence: same components as the uncapped graph
+    got = {(r["id"], r["label"])
+           for r in connected_components(capped).collect()}
+    want = {(r["id"], r["label"])
+            for r in connected_components(
+                _lsh_band_pairs(docs)).collect()}
+    assert got == want
