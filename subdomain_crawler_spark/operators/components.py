@@ -13,18 +13,24 @@ simpler per-round shape.
 
 Scale notes (10^10-node pair graphs):
 * No row data ever reaches the driver — the only per-round driver value is
-  an Observation carrying an exact decimal label-sum.  Labels start equal
-  to node ids and strictly decrease whenever anything changes, so an
-  unchanged sum is an exact (not probabilistic) convergence proof, with no
-  extra comparison join.
-* One Spark action per TWO rounds (round-6 trim): pointer jumping
-  converges in ~log2(diameter)+1 rounds, so checking convergence only on
-  alternate rounds halves the driver's action/scheduling floor at the
-  cost of at most one extra round of (cheap, already-converged) work.
-  The label sum is monotone non-increasing per round, so "sum unchanged
-  across two rounds" remains an exact convergence proof.  The odd round's
-  table is localCheckpoint-marked but not separately actioned — the even
-  round's job materializes it in passing.
+  an Observation carrying the round's exact CHANGED-ROW count.  Each round
+  carries its input label alongside the output (``prev_label`` — one extra
+  id-width column in the round's checkpoint) and observes
+  ``sum(label != prev_label)`` above the checkpoint; labels only ever
+  decrease, so ``changed == 0`` means the round was a no-op — an exact
+  (not probabilistic) fixed-point proof that each round self-reports.
+  (Metrics BELOW a localCheckpoint never fire — the RDD materialization
+  path bypasses the QueryExecution listeners — so the observation must
+  ride the block scan above it, which is also why the mid round of a
+  stride cannot cheaply observe anything: its blocks are scanned three
+  times by the next round's plan.)
+* One Spark action per TWO rounds: pointer jumping converges in
+  ~log2(diameter)+1 rounds, so convergence is checked once per stride —
+  and because the check is the stride's LAST round self-reporting a
+  no-op, a graph that converges inside the stride is detected in that
+  same action.  The common LSH dedup graph — tiny cliques, diameter
+  1-2 — converges in ONE driver action (round 1 relabels, round 2 is the
+  no-op proof).
 * Lineage is truncated EVERY round via ``localCheckpoint``: each round
   references the previous label table twice (propagation join + jump
   join), so an un-truncated logical plan DOUBLES per round — exponential
@@ -50,14 +56,22 @@ from pyspark.sql import functions as F
 
 def free_checkpoint_blocks(df: DataFrame) -> None:
     """Eagerly drop the storage blocks behind a ``localCheckpoint``-ed
-    DataFrame.  ONLY call on a table that will never be referenced again —
-    the blocks are the data (recompute is impossible after this).  Without
-    it the blocks linger until the JVM-side RDD is garbage-collected and
-    the ContextCleaner runs."""
+    DataFrame (or a projection over one — every LogicalRDD leaf under the
+    plan is unpersisted).  ONLY call on a table that will never be
+    referenced again — the blocks are the data (recompute is impossible
+    after this).  Without it the blocks linger until the JVM-side RDD is
+    garbage-collected and the ContextCleaner runs."""
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        it = leaves.iterator()
+        while it.hasNext():
+            leaf = it.next()
+            try:
+                leaf.rdd().unpersist(False)
+            except Exception:
+                pass  # not a LogicalRDD leaf — nothing to free
     except Exception:
-        pass  # best-effort: a non-LogicalRDD plan has nothing to free
+        pass  # best-effort
 
 
 def connected_components(
@@ -69,31 +83,47 @@ def connected_components(
     """Label each node of the undirected graph ``pairs`` with the minimum
     node id of its connected component.
 
-    ``pairs`` columns ``src``/``dst`` must be a numeric (orderable,
-    summable) id type.  Returns DataFrame(id, label) covering every node
-    that appears in at least one pair (singletons never enter the graph —
-    the caller decides their representation, matching the LSH pipeline
-    where a pairless doc is its own group).  The result is backed by a
+    ``pairs`` columns ``src``/``dst`` must be a numeric (orderable) id
+    type.  Returns DataFrame(id, label) covering every node that appears
+    in at least one pair (singletons never enter the graph — the caller
+    decides their representation, matching the LSH pipeline where a
+    pairless doc is its own group).  The result is backed by a
     ``localCheckpoint`` — materialized, lineage-free; its blocks are
-    released when the caller drops the reference.
+    released when the caller drops the reference (or eagerly via
+    ``free_checkpoint_blocks``).
 
     Raises RuntimeError if the labels have not provably converged within
     ``max_rounds`` rounds.
     """
-    edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-             .unionByName(
-                 pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # symmetrize with ONE explode pass — a unionByName of two selects would
+    # put the caller's pair plan (often a full MinHash-LSH banding over the
+    # corpus) in the lineage TWICE, and the first action would compute the
+    # signature kernel twice before the persist caches anything
+    edges = (pairs.select(F.explode(F.array(
+                 F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                 F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+             )).alias("e"))
+             .select("e.a", "e.b")
              .persist())
     labels = (edges.select(F.col("a").alias("id")).distinct()
               .withColumn("label", F.col("id")).persist())
     seed_labels = labels  # the setup frame, unpersisted after round 0
 
     def one_round(lab: DataFrame) -> DataFrame:
-        # propagate: every node takes min(own, neighbors') previous label
-        prop = (edges.join(lab, edges["b"] == lab["id"])
-                .select(F.col("a").alias("id"), "label"))
-        new = (lab.unionByName(prop)
-               .groupBy("id").agg(F.min("label").alias("label")))
+        # propagate: every node takes min(own, neighbors') previous label.
+        # The node's OWN previous label rides along (own=true rows — each
+        # id contributes exactly one) so the round's output can self-report
+        # whether it changed anything, with no comparison join.
+        prop = (edges.join(lab.select("id", "label"),
+                           edges["b"] == F.col("id"))
+                .select(F.col("a").alias("id"), "label",
+                        F.lit(False).alias("own")))
+        new = (lab.select("id", "label", F.lit(True).alias("own"))
+               .unionByName(prop)
+               .groupBy("id")
+               .agg(F.min("label").alias("label"),
+                    F.min(F.when(F.col("own"), F.col("label")))
+                     .alias("prev_label")))
         # pointer jump through the previous table: label := prev[label].
         # prev[x] <= x for every x (labels start at id, only decrease), so
         # the jump only improves; label values are node ids, so the lookup
@@ -101,18 +131,17 @@ def connected_components(
         prevmap = lab.select(F.col("id").alias("jid"),
                              F.col("label").alias("jlabel"))
         new = (new.join(prevmap, new["label"] == prevmap["jid"], "left")
-               .select("id", F.coalesce("jlabel", "label").alias("label")))
+               .select("id", F.coalesce("jlabel", "label").alias("label"),
+                       "prev_label"))
         # truncate lineage + mark this round's partitions for storage; the
         # next action to touch the frame materializes it
         return new.localCheckpoint(eager=False)
 
-    sentinel = object()
-    prev_sum = sentinel
     converged = False
     rounds_run = 0
+    last_changed = None
     while rounds_run < max_rounds:
         stale = [labels]  # superseded tables to free after this stride
-        mid = None
         if rounds_run + 1 < max_rounds:  # two rounds, ONE action
             mid = one_round(labels)
             stale.append(mid)
@@ -122,9 +151,12 @@ def connected_components(
             new = one_round(labels)
             rounds_run += 1
         obs = Observation()
-        # decimal(38,0): exact at any node count (no int64 overflow, no FP)
-        (new.observe(obs, F.sum(F.col("label").cast("decimal(38,0)"))
-                     .alias("s"))
+        # the observation rides ABOVE the stride's final checkpoint (below
+        # it metrics never fire); changed==0 ⇔ the last round was a no-op
+        # ⇔ fixed point (labels are monotone non-increasing). sum() is
+        # null on an empty graph — converged by definition.
+        (new.observe(obs, F.sum((F.col("label") != F.col("prev_label"))
+                                .cast("long")).alias("changed"))
             .count())  # the stride's ONE action: materializes mid + new + obs
         if seed_labels is not None:
             seed_labels.unpersist()  # the distinct-ids frame from setup
@@ -133,14 +165,13 @@ def connected_components(
         for df in stale:
             free_checkpoint_blocks(df)
         labels = new
-        cur_sum = obs.get["s"]
-        if cur_sum == prev_sum:
+        last_changed = int(obs.get["changed"] or 0)
+        if last_changed == 0:
             converged = True
             break
-        prev_sum = cur_sum
     edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds "
-            f"(label sum still decreasing: {prev_sum})")
-    return labels
+            f"(last round still changed {last_changed} labels)")
+    return labels.select("id", "label")
