@@ -14,9 +14,18 @@ Semantics are the golden ``ReferenceSimulator``'s (same quirk list, same
 canonical ordering); tests/test_crawl_e2e.py proves per-round equivalence.
 
 Scale notes (10^10-URL frontier, 1000 executors):
+* seed expansion (S1+X4+D2) is ONE fused Arrow pass: seeds hash-partition
+  by registered domain (the only key under which duplicate hosts can
+  collide), then each partition expands, derives roots, and dedups locally
+  (_make_seed_expander) — the ~134× expanded set is never shuffled for
+  dedup, and the per-host PSL calls collapse to one per SEED;
 * the fetch-join broadcasts the frontier only while it is small (driver
   checks a row-count threshold); past that it falls back to a shuffle join
-  on ``host`` — with AQE enabled skewed hosts re-split at runtime;
+  on ``host`` — with AQE enabled skewed hosts re-split at runtime; the
+  expansion round additionally routes definite corpus∪dns NON-members
+  (most of the fan-out) around the join entirely via a broadcast bloom
+  stamped during expansion (config.corpus_filter — exact: misses cannot
+  be members, false positives just take the join);
 * the frontier and candidate sets are salted-repartitioned by
   ``hash(root, salt)`` before heavy stages to break hot-SLD skew
   (one university seed → thousands of candidates; reference has no answer
@@ -73,6 +82,88 @@ import os as _os_mod
 
 BROADCAST_FRONTIER_MAX = int(_os_mod.environ.get(
     "SPARK_GRAFT_BROADCAST_FRONTIER_MAX", 2_000_000))
+
+
+FRONTIER_FLAGGED_SCHEMA = StructType(
+    FRONTIER_SCHEMA.fields
+    + [StructField("_in_corpus", BooleanType())])
+
+
+def _make_seed_expander(prefixes: list[str], expand_sld: bool,
+                        bank_bc=None):
+    """Fused seed-expansion kernel for ``mapInPandas`` (S1+X4+D2 in ONE
+    Arrow pass — round-6 rebuild of the explode + get_root-UDF + groupBy
+    pipeline, whose 20 M-row dedup shuffle was the worst-scaling leg of the
+    crawl, BENCH §3d/§3e).
+
+    Correctness requires the input to be hash-partitioned by
+    ``coalesce(get_root(seed), seed)``: two emissions of the same host can
+    only come from seeds sharing that key (identity seed ``p.s`` and
+    expansion of SLD seed ``s`` both key to ``s``; PSL-error seeds never
+    expand and key to themselves), so a per-partition dedup is exact —
+    the global groupBy-shuffle of the EXPANDED set is unnecessary.
+
+    The expansion rows' root skips the PSL kernel entirely: for an SLD
+    seed ``s`` (etld1(s) == s), etld1(p + "." + s) == s for EVERY prefix —
+    including wildcard (`*.ck`) and exception (`!city.kawasaki.jp`) rule
+    classes, because the prevailing-rule match over ``p.s``'s tail is the
+    same match that made ``s`` an SLD (pinned by
+    tests/test_core.py::test_expansion_root_shortcut). That removes the
+    ~134× per-host eTLD+1 calls that dominated the leg's CPU at local[1].
+    Seeds where raw != canonicalize(raw) (embedded whitespace survivors of
+    the JVM trim) fall back to the full per-host kernel, preserving the
+    old path's byte-exact roots."""
+    import numpy as np
+
+    parr = np.array(prefixes, dtype=object)
+
+    def expand_partition(batches):
+        from ..functions import core
+
+        chunks = [pdf["seed"] for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        seeds = pd.concat(chunks, ignore_index=True).astype(object)
+        canon = core.canonicalize(seeds)
+        etld1 = core.get_root(seeds)  # canonicalizes internally
+        # identity rows: raw host, root = etld1 (PSL-error falls back to raw)
+        hosts = [seeds.to_numpy(dtype=object)]
+        roots = [etld1.where(etld1.notna(), seeds).to_numpy(dtype=object)]
+        if expand_sld and len(parr):
+            is_sld = (etld1 == canon).fillna(False).to_numpy(dtype=bool)
+            raw = seeds.to_numpy(dtype=object)[is_sld]
+            if len(raw):
+                H = len(parr)
+                exp_host = (np.tile(parr, len(raw)) + "."
+                            + np.repeat(raw, H))
+                safe = np.repeat(
+                    (seeds == canon).to_numpy(dtype=bool)[is_sld], H)
+                exp_root = np.repeat(raw, H)  # == canon seed where safe
+                if not safe.all():
+                    odd = pd.Series(exp_host[~safe])
+                    r = core.get_root(odd)
+                    exp_root[~safe] = r.where(r.notna(), odd) \
+                                       .to_numpy(dtype=object)
+                hosts.append(exp_host)
+                roots.append(exp_root)
+        out = pd.DataFrame({
+            "host": np.concatenate(hosts),
+            "root": np.concatenate(roots),
+        })
+        # duplicate hosts carry identical (root, depth=0) — the canonical
+        # min-(root,depth) rule degenerates to plain drop_duplicates
+        out = out.drop_duplicates("host", ignore_index=True)
+        out["depth"] = np.zeros(len(out), dtype=np.int32)
+        if bank_bc is not None:
+            # corpus-membership flag computed IN the same pass (rows are
+            # already pandas here): round 0's giant join splits on it with
+            # zero extra scans or probe passes (config.corpus_filter)
+            from ..operators.seen import ShardedSeenFilter as _SSF
+            bank = _SSF.from_bytes_list(bank_bc.value)
+            out["_in_corpus"] = bank.maybe_contains(out["host"])
+        yield out
+
+    return expand_partition
 
 
 def _status_expr(code_col):
@@ -166,6 +257,13 @@ class CrawlEngine:
             F.substring("caption", 1, cap).alias("caption"))
         self.dns = dns
         self.robots = robots
+        # schema snapshots taken ONCE — per-round code never calls
+        # .columns on a join output (each such call re-analyzes the whole
+        # plan tree on the driver, a serial per-round cost)
+        self._meta_fields = list(self.corpus_meta.schema.fields)
+        self._dns_fields = list(dns.schema.fields)
+        self._meta_cols = [f.name for f in self._meta_fields]
+        self._dns_cols = [f.name for f in self._dns_fields]
         # scan parallelism of the text column (metadata only — no job):
         # decides whether extraction needs a spreading repartition (round-4
         # fix: the unconditional repartition was pure overhead whenever the
@@ -204,8 +302,14 @@ class CrawlEngine:
             self.dns = self.dns.repartition(w, "host").persist()
         self._bank: ShardedSeenFilter | None = None
         self._bank_bc = None  # this round's broadcast handle (destroyed per round)
+        # corpus-membership bank (config.corpus_filter): built lazily on
+        # the first expansion-round giant join, broadcast once per crawl.
+        # False = tried and discarded (corpus bigger than capacity).
+        self._corpus_bank_bc = None
+        self._corpus_bank_state: bool | None = None
         self._seen_total = 0  # cumulative seen-host count (gates the bank)
         self._frontier0: DataFrame | None = None  # cached round-0 frontier
+        self._f0_flagged = False  # _frontier0 carries _in_corpus
         self._n0 = 0
 
     # -- lifecycle -----------------------------------------------------------
@@ -227,41 +331,57 @@ class CrawlEngine:
                    .filter((F.col("line") != "")
                            & ~F.col("line").startswith("#"))
                    .select(F.lower("line").alias("seed")))
-        if cfg.expand_sld:
-            prefixes = core.merged_prefixes(list(cfg.custom_prefixes))
-            parr = F.array(*[F.lit(p) for p in prefixes])
-            cands = (F.when(udfs.udf_is_sld("seed"),
-                            F.concat(F.array(F.col("seed")),
-                                     F.transform(parr, lambda p: F.concat(
-                                         p, F.lit("."), F.col("seed")))))
-                     .otherwise(F.array(F.col("seed"))))
-        else:
-            cands = F.array(F.col("seed"))
-        # width sized by the WORK (~134x explode fan-out, ~25k rows/task),
-        # not by the core count: a 1200-seed list at local[32] would
-        # otherwise spin up 32 near-idle Python-UDF workers (measured ~10 s
-        # of the 30 s bench crawl); a 10^8-seed list still fans out to
-        # every core
-        fanout = len(core.merged_prefixes(list(cfg.custom_prefixes))) + 1 \
-            if cfg.expand_sld else 1
-        width = max(1, min(self.spark.sparkContext.defaultParallelism,
-                           (len(seeds) * fanout) // 25_000 + 1))
+        prefixes = core.merged_prefixes(list(cfg.custom_prefixes)) \
+            if cfg.expand_sld else []
+        # one tiny shuffle of the SEED list (not the ~134× expanded set):
+        # hash-partition by coalesce(get_root(seed), seed) so every seed
+        # that can emit a given host lands in one partition, then expand +
+        # dedup in ONE fused Arrow pass (_make_seed_expander). The old
+        # shape (JVM explode → per-host get_root UDF → global groupBy)
+        # shuffled the full 10^7-row expansion and was the crawl's
+        # worst-scaling leg. depth hardcoded 0 even for expanded
+        # subdomains (crawl_usecase.go:248); PSL-error root fallback quirk
+        # (crawl_usecase.go:239-242) preserved inside the kernel.
+        # width sized by the WORK (~250k expanded rows/task): partitions
+        # may exceed cores (tasks queue) — that bounds per-task pandas
+        # memory at any seed-list size.
+        fanout = len(prefixes) + 1
+        width = max(1, (len(seeds) * fanout) // 250_000 + 1)
+        key = F.coalesce(udfs.udf_get_root("seed"), F.col("seed"))
+        # round 0 will run in the giant-join regime → stamp the corpus-
+        # membership flag during expansion (one fused pass; the flag rides
+        # the f0 CACHE only — the frontier table on disk keeps its schema)
+        bank_bc = None
+        if cfg.corpus_filter and len(seeds) * fanout > BROADCAST_FRONTIER_MAX:
+            bank_bc = self._corpus_membership_bank()
+        self._f0_flagged = bank_bc is not None
         df = (cleaned
-              .repartition(width)
-              .select(F.explode(cands).alias("host"))
-              .select("host",
-                      F.coalesce(udfs.udf_get_root("host"),
-                                 F.col("host")).alias("root"),  # PSL-error
-                      # fallback quirk (crawl_usecase.go:239-242); depth
-                      # hardcoded 0 even for expanded subdomains (:248)
-                      F.lit(0).cast("int").alias("depth")))
+              .repartition(width, key)
+              .mapInPandas(
+                  _make_seed_expander(prefixes, cfg.expand_sld, bank_bc),
+                  FRONTIER_FLAGGED_SCHEMA if self._f0_flagged
+                  else FRONTIER_SCHEMA))
+        # re-hash the DEDUPED frontier by host: round 0's giant-regime
+        # fetch-join needs hashpartitioning(host, w) on the frontier side,
+        # and the cached f0 carrying it means round 0 runs with ZERO
+        # frontier exchanges (the corpus side is prepart-cached on host).
+        # The old groupBy-dedup provided this implicitly; keeping it costs
+        # one plain shuffle of the expanded set but none of the old path's
+        # per-host PSL calls or aggregation machinery.
+        w = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        df = df.repartition(w, "host")
         # persist BEFORE the checkpoint write: the write materializes the
         # cache and its observation carries the row count, so round 0 starts
         # from the cached frame immediately — no recompute of the expansion
         # lineage for the write, no read-back, no count() job.
-        f0 = self._dedup_frontier(df).persist()
+        f0 = df.persist()
         obs = Observation()
-        self.io.append("frontier", f0.observe(obs, F.count(F.lit(1)).alias("n")), 0)
+        # the written round-0 table keeps the 3-column frontier schema —
+        # the membership flag lives only in the cache (resume re-joins
+        # plain; the flag is a round-0 plan accelerator, not state)
+        out0 = f0.drop("_in_corpus") if self._f0_flagged else f0
+        self.io.append("frontier",
+                       out0.observe(obs, F.count(F.lit(1)).alias("n")), 0)
         self._frontier0 = f0
         self._n0 = int(obs.get["n"] or 0)
 
@@ -303,10 +423,12 @@ class CrawlEngine:
             if not self.io.exists("frontier", rnd):
                 break
             t0 = time.monotonic()
+            flagged = False
             if rnd == 0 and self._frontier0 is not None:
                 # fresh start: round 0 runs off the frame the checkpoint
                 # write just materialized into the cache
                 frontier, n = self._frontier0, self._n0
+                flagged = self._f0_flagged
                 self._frontier0 = None
             else:
                 frontier = self.io.read_round("frontier", rnd).persist()
@@ -316,7 +438,7 @@ class CrawlEngine:
             if n == 0:
                 frontier.unpersist()
                 break
-            st, n = self._run_round(rnd, frontier, n)
+            st, n = self._run_round(rnd, frontier, n, flagged=flagged)
             stats.append(st)
             if progress:
                 progress(st)
@@ -355,7 +477,36 @@ class CrawlEngine:
 
         return cand.withColumn("_maybe_seen", maybe_seen(F.col("cand")))
 
-    def _join_frontier(self, f: DataFrame, small_round: bool) -> DataFrame:
+    def _corpus_membership_bank(self):
+        """Lazily build + broadcast the corpus∪dns host bloom (see
+        config.corpus_filter). Returns the broadcast handle or None (too
+        big / disabled). The build pass also counts rows, so an over-full
+        bank (FP→1, dead weight) is detected and discarded in the same
+        job."""
+        if self._corpus_bank_state is False:
+            return None
+        if self._corpus_bank_bc is None:
+            _t0 = time.monotonic()
+            cap = self.cfg.corpus_bloom_capacity
+            bank, n = seen_mod.build_bank_distributed(
+                self.corpus_meta.select("host").unionByName(
+                    self.dns.select("host")),
+                "host", self.cfg.bloom_shards,
+                max(1024, cap // self.cfg.bloom_shards),
+                self.cfg.bloom_fp, with_count=True)
+            if n > cap:
+                self._corpus_bank_state = False
+                return None
+            self._corpus_bank_bc = self.spark.sparkContext.broadcast(
+                bank.to_bytes_list())
+            self._corpus_bank_state = True
+            if _os_mod.environ.get("SPARK_GRAFT_TIMING") == "1":
+                print(f"    [init] corpus bank build ({n} hosts): "
+                      f"{time.monotonic() - _t0:.1f}s", flush=True)
+        return self._corpus_bank_bc
+
+    def _join_frontier(self, f: DataFrame, small_round: bool,
+                       flagged: bool = False) -> DataFrame:
         """J1 fetch-join + J2 dns-join → one frame with null fetch columns
         for missing hosts and the rcode=-1 total-DNS-failure sentinel
         (resolver.go:84-97; an NXDOMAIN RESPONSE leaves err==nil upstream,
@@ -364,26 +515,54 @@ class CrawlEngine:
         groups skipped via the build-side filter), then the frontier
         LEFT-joins the frontier-sized extracts broadcast — zero frontier
         shuffles. Giant rounds: one shuffle left-join chain on host (the
-        second join reuses the first's hash partitioning)."""
+        second join reuses the first's hash partitioning). A FLAGGED giant
+        frontier (fresh round 0 — the seed expander stamped ``_in_corpus``
+        from the corpus∪dns membership bloom, config.corpus_filter) splits
+        instead: definite non-members — most of the ~134× fan-out — bypass
+        the join/sort with the same null columns a failed left join
+        yields; possible members (incl. all false positives) take the
+        exact join, so the output is bit-identical to the unsplit plan."""
         if small_round:
             fh = F.broadcast(f.select("host"))
             meta_small = self.corpus_meta.join(fh, "host", "inner")
             dns_small = self.dns.join(fh, "host", "inner")
             j = (f.join(F.broadcast(meta_small), "host", "left")
                   .join(F.broadcast(dns_small), "host", "left"))
+        elif flagged:
+            hit = f.filter(F.col("_in_corpus")).drop("_in_corpus")
+            miss = f.filter(~F.col("_in_corpus")).drop("_in_corpus")
+            j_hit = (hit.join(self.corpus_meta, "host", "left")
+                     .join(self.dns, "host", "left"))
+            nulls = ([F.lit(None).cast(fld.dataType).alias(fld.name)
+                      for fld in self._meta_fields if fld.name != "host"]
+                     + [F.lit(None).cast(fld.dataType).alias(fld.name)
+                        for fld in self._dns_fields if fld.name != "host"])
+            j = j_hit.unionByName(miss.select("host", "root", "depth",
+                                              *nulls))
         else:
             j = (f.join(self.corpus_meta, "host", "left")
                   .join(self.dns, "host", "left"))
+        # column list assembled STATICALLY (init-time table schemas + the
+        # fixed frontier shape) — `j.columns` here would re-analyze the
+        # whole join tree on the driver once per round per call, a purely
+        # serial cost that grows with plan depth (BENCH §3c planning floor)
+        cols = (["host", "root", "depth"]
+                + [c for c in self._meta_cols if c != "host"]
+                + [c for c in self._dns_cols
+                   if c not in ("host", "ips", "rcode")])
         return j.select(
-            *[c for c in j.columns if c not in ("ips", "rcode")],
+            *cols,
             F.coalesce(F.col("ips"),
                        F.array().cast("array<string>")).alias("ips"),
             F.coalesce(F.col("rcode"), F.lit(-1)).cast("int").alias("rcode"))
 
     def _run_round(self, rnd: int, frontier: DataFrame,
-                   tasks_processed: int) -> tuple[RoundStats, int]:
+                   tasks_processed: int,
+                   flagged: bool = False) -> tuple[RoundStats, int]:
         """One crawl round. Returns (stats, next-frontier row count — observed
-        on the frontier write, so the next round needs no count() job)."""
+        on the frontier write, so the next round needs no count() job).
+        ``flagged``: the frontier carries the ``_in_corpus`` membership
+        flag (fresh round 0 only — see _join_frontier)."""
         t0 = time.monotonic()
         cfg = self.cfg
         spark = self.spark
@@ -438,12 +617,21 @@ class CrawlEngine:
         http_att = active & ~fetched_https
         http_ok = http_att & has("http")
         fetched_http = http_ok & is2xx
-        j0 = self._join_frontier(f, small_round)
+        j0 = self._join_frontier(f, small_round,
+                                 flagged=flagged and not small_round)
         # depth is folded into `active` and proto_ok into the avail/ok
         # flags — neither raw column is read downstream, so neither is
-        # cached (every dropped column is one fewer per-round cache pass)
+        # cached (every dropped column is one fewer per-round cache pass).
+        # Static list (no j0.columns re-analysis): _join_frontier's output
+        # shape is frontier + meta + dns extras + coalesced ips/rcode.
+        j0_cols = (["host", "root"]
+                   + [c for c in self._meta_cols
+                      if c not in ("host", "proto_ok")]
+                   + [c for c in self._dns_cols
+                      if c not in ("host", "ips", "rcode")]
+                   + ["ips", "rcode"])
         j = (j0.select(
-                *[c for c in j0.columns if c not in ("proto_ok", "depth")],
+                *j0_cols,
                 active.alias("active"),
                 avail("https").alias("https_avail"),
                 avail("http").alias("http_avail"),
@@ -598,26 +786,34 @@ class CrawlEngine:
         )
 
         # ---- D1: novel = candidates not in cumulative seen -------------------
-        cand_dist = exploded.select("cand").distinct()
         seen = self._cumulative_seen(rnd)
         split = None
+        bc = F.broadcast if tasks_processed <= BROADCAST_FRONTIER_MAX \
+            else (lambda df: df)
         if seen is None:
-            novel = cand_dist
+            # round 0: the seen set is empty, so EVERY candidate is novel —
+            # `novel` would be exploded.distinct() and the winner join below
+            # an identity. Skipping both saves two full shuffles of the
+            # exploded candidate set in the crawl's biggest round (the
+            # winner groupBy alone produces the distinct-cand set).
+            survivors = exploded
         elif self._bank is not None:
+            cand_dist = exploded.select("cand").distinct()
             split = self._maybe_new_filter(cand_dist).persist()
             suspects = (split.filter("_maybe_seen").drop("_maybe_seen")
                         .join(seen, F.col("cand") == F.col("host"), "left_anti"))
             novel = split.filter("NOT _maybe_seen").drop("_maybe_seen").unionByName(suspects)
+            survivors = exploded.join(bc(novel.select("cand")), "cand")
         else:
-            novel = cand_dist.join(seen, F.col("cand") == F.col("host"), "left_anti")
+            novel = (exploded.select("cand").distinct()
+                     .join(seen, F.col("cand") == F.col("host"), "left_anti"))
+            survivors = exploded.join(bc(novel.select("cand")), "cand")
 
         # winner = canonical min-parent claim per novel cand; pos rides along
         # in the min-struct (one pos per (cand, parent) — per-page dedup), so
         # the per-page novel lists derive from `winner` alone, no join back
         # to `exploded`
-        bc = F.broadcast if tasks_processed <= BROADCAST_FRONTIER_MAX \
-            else (lambda df: df)
-        winner = (exploded.join(bc(novel.select("cand")), "cand")
+        winner = (survivors
                   .groupBy("cand")
                   .agg(F.min(F.struct("parent", "parent_root", "pos")).alias("w"))
                   .select("cand", F.col("w.parent").alias("winner"),
@@ -674,8 +870,12 @@ class CrawlEngine:
                                    F.count(F.lit(1)).alias("enqueued")))
         next_frontier = novel_frontier
         if deferred is not None:
+            # explicit 3-column projection: a flagged round-0 frontier
+            # carries _in_corpus through the politeness split, and the
+            # flag must not leak into the written frontier table
             next_frontier = self._dedup_frontier(
-                next_frontier.unionByName(deferred))
+                next_frontier.unionByName(
+                    deferred.select("host", "root", "depth")))
         # the frontier write's observation feeds the NEXT round's row count —
         # the old per-round frontier.count() job is gone
         obs_f = Observation()

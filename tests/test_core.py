@@ -308,3 +308,47 @@ def test_etld_fast_path_parity():
               for _ in range(25)]
     for c in cases:
         assert psl.etld_plus_one_fast(c) == psl.etld_plus_one(c), c
+
+
+def test_expansion_root_shortcut():
+    """The fused seed expander (plans/crawl._make_seed_expander) assigns
+    root = seed for every expansion host WITHOUT calling the PSL kernel,
+    on the proof that etld1(p + "." + s) == s whenever etld1(s) == s.
+    Pin that identity across every rule class: plain gTLD, multi-label
+    suffix, wildcard (*.ck), exception (!www.ck), unknown TLD (default
+    '*' rule)."""
+    from subdomain_crawler_spark.functions import core, psl
+
+    sld_seeds = ["example.com", "foo.co.uk", "site.gov.cn", "b.site.ck",
+                 "www.ck", "shop.com.br", "name.unknowntld", "x.ac.jp"]
+    prefixes = core.merged_prefixes()
+    for s in sld_seeds:
+        assert psl.etld_plus_one(s) == s, f"fixture must be SLD: {s}"
+        for p in prefixes:
+            assert psl.etld_plus_one(f"{p}.{s}") == s, (p, s)
+
+
+def test_fused_seed_expander_matches_reference():
+    """One fused-kernel pass over a mixed seed partition must equal the
+    reference expansion semantics row-for-row (expand_domain_one + PSL-error
+    root fallback + host dedup)."""
+    import pandas as pd
+
+    from subdomain_crawler_spark.functions import core
+    from subdomain_crawler_spark.plans.crawl import _make_seed_expander
+
+    seeds = ["example.com", "www.example.com", "example.com",  # dup + overlap
+             "b.site.ck", "www.ck", "single", "deep.a.edu.cn",
+             "foo.co.uk", "x.www.ck"]
+    prefixes = core.merged_prefixes()
+    kernel = _make_seed_expander(prefixes, True)
+    out = pd.concat(list(kernel(iter([pd.DataFrame({"seed": seeds})]))),
+                    ignore_index=True)
+
+    want = {}
+    for s in seeds:
+        for h in core.expand_domain_one(s, prefixes):
+            want.setdefault(h, (core.get_root_one(h) or h, 0))
+    got = {r.host: (r.root, r.depth) for r in out.itertuples()}
+    assert got == want
+    assert len(out) == len(want)  # per-partition dedup is exact

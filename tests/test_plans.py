@@ -202,3 +202,56 @@ def test_sessionize_salted_phase2_is_aggregated(spark):
     wspecs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
     assert wspecs, p
     assert any("bkt" in w and "user_id" in w for w in wspecs)
+
+
+def test_corpus_filter_split_parity(spark, fixture_web, tmp_path,
+                                    monkeypatch):
+    """A flagged giant round-0 frontier splits on the corpus∪dns
+    membership bloom (config.corpus_filter): definite non-members bypass
+    the join with null columns. The split output must equal the unsplit
+    join ROW FOR ROW (false positives take the join path; misses
+    synthesize exactly the failed-left-join row), the written frontier
+    table must NOT carry the flag, and an over-capacity corpus must
+    discard the bank and fall back to the plain unflagged path."""
+    from subdomain_crawler_spark.config import CrawlConfig
+    from subdomain_crawler_spark.plans import crawl as crawl_mod
+    from subdomain_crawler_spark.plans.crawl import CrawlEngine
+
+    # force the giant regime on the tiny fixture seed list
+    monkeypatch.setattr(crawl_mod, "BROADCAST_FRONTIER_MAX", 10)
+
+    base = fixture_web["base"]
+    corpus = spark.read.parquet(f"{base}/corpus.parquet")
+    dns = spark.read.parquet(f"{base}/dns.parquet")
+
+    eng = CrawlEngine(spark,
+                      CrawlConfig(honor_robots=False, corpus_filter=True),
+                      str(tmp_path / "on"), corpus, dns)
+    eng.start(fixture_web["seeds"])
+    assert eng._f0_flagged and eng._corpus_bank_state is True
+    f_cached = eng._frontier0
+    assert "_in_corpus" in f_cached.columns
+    f_disk = eng.io.read_round("frontier", 0)
+    assert "_in_corpus" not in f_disk.columns  # table schema unchanged
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    plain = rows(eng._join_frontier(f_disk, small_round=False))
+    split = rows(eng._join_frontier(f_cached, small_round=False,
+                                    flagged=True))
+    assert split == plain
+    # the fan-out frontier must contain genuine non-members for the test
+    # to exercise the bypass branch at all
+    n_members = corpus.select("host").unionByName(dns.select("host")) \
+                      .distinct().count()
+    assert f_disk.count() > n_members
+
+    # over-capacity corpus → bank discarded, unflagged frontier
+    eng2 = CrawlEngine(spark,
+                       CrawlConfig(honor_robots=False, corpus_filter=True,
+                                   corpus_bloom_capacity=1),
+                       str(tmp_path / "off"), corpus, dns)
+    eng2.start(fixture_web["seeds"])
+    assert eng2._corpus_bank_state is False and not eng2._f0_flagged
+    assert "_in_corpus" not in eng2._frontier0.columns
