@@ -345,6 +345,85 @@ def scaling_warm() -> None:
     print(json.dumps(report, indent=2))
 
 
+def redirect_probe() -> None:
+    """Measure the one-time redirect-closure cost on a redirect-HEAVY corpus
+    (VERDICT r5 stretch #7): ~30% of hosts are 3xx sources arranged in
+    linear chains of 1..12 hops plus cycles and dead hops — every chain
+    class the resolver distinguishes, at >= 1M redirect rows.
+
+    The closure plan self-joins the 3xx subset `_DOUBLING_ROUNDS`=4 times
+    (16 copies of the source subtree — redirects.py:92-95), so CrawlEngine
+    materializes it ONCE per crawl via localCheckpoint. This probe times
+    exactly that init step and verifies the per-round-leaf claim: after the
+    checkpoint the resolution table enters round plans as a scan leaf.
+
+    Prints one JSON line: {n_meta, n_sources, closure_sec, classes: {...}}.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_chains = int(os.environ.get("SPARK_GRAFT_PROBE_CHAINS", "160000"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    base = os.path.join(tempfile.gettempdir(), f"redirect_probe_{n_chains}")
+    path = os.path.join(base, "meta.parquet")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        os.makedirs(base, exist_ok=True)
+        hosts, status, rto = [], [], []
+        for k in range(n_chains):
+            L = 1 + (k % 12)  # redirect hops before the 200 terminal
+            for j in range(L):
+                hosts.append(f"c{k}h{j}.example.com")
+                status.append(301 + (j % 3))
+                rto.append(f"c{k}h{j + 1}.example.com" if j + 1 < L
+                           else f"c{k}t.example.com")
+            hosts.append(f"c{k}t.example.com")   # terminal 200
+            status.append(200)
+            rto.append(None)
+        ncyc = n_chains // 50                     # 2% cycles (3-loops)
+        for k in range(ncyc):
+            for j in range(3):
+                hosts.append(f"y{k}h{j}.example.com")
+                status.append(302)
+                rto.append(f"y{k}h{(j + 1) % 3}.example.com")
+        for k in range(n_chains // 50):           # 2% dead hops
+            hosts.append(f"d{k}h0.example.com")
+            status.append(301)
+            rto.append(f"d{k}missing.example.com")
+        tbl = pa.table({
+            "host": pa.array(hosts),
+            "status_code": pa.array(status, type=pa.int32()),
+            "content_length": pa.array(
+                np.asarray(status, dtype=np.int64) + 100),
+            "redirect_to": pa.array(rto),
+        })
+        pq.write_table(tbl, path)
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    spark = build_spark(cpus)
+    from pyspark.sql import functions as F
+    from subdomain_crawler_spark.operators.redirects import resolve_redirects
+    meta = spark.read.parquet(path)
+    n_meta = meta.count()  # warm the scan / page cache out of the timing
+    t0 = time.monotonic()
+    res = resolve_redirects(meta).localCheckpoint(eager=True)
+    closure_sec = round(time.monotonic() - t0, 2)
+    classes = {r["fetch_error"] or "ok": r["n"] for r in
+               res.groupBy("fetch_error").agg(F.count("*").alias("n"))
+                  .collect()}
+    # per-round-leaf claim: a round plan joining against the checkpointed
+    # table must contain exactly ONE parquet scan (meta) — the closure's 16
+    # source-subtree copies must NOT reappear
+    plan = (meta.join(res.withColumnRenamed("host", "rh"),
+                      meta["host"] == F.col("rh"), "left")
+            ._jdf.queryExecution().executedPlan().toString())
+    n_scans = plan.count("Scan parquet")
+    spark.stop()
+    print(json.dumps({"n_meta": n_meta, "n_sources": int(sum(
+        v for k, v in classes.items())), "closure_sec": closure_sec,
+        "classes": classes, "round_plan_parquet_scans": n_scans}))
+
+
 def scaling_one() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # Pin the WHOLE process tree (JVM + Python UDF workers) to `cpus`
@@ -389,5 +468,7 @@ if __name__ == "__main__":
         scaling_warm()
     elif "--scaling-one" in sys.argv:
         scaling_one()
+    elif "--redirect-probe" in sys.argv:
+        redirect_probe()
     else:
         main()

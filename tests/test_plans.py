@@ -255,3 +255,25 @@ def test_corpus_filter_split_parity(spark, fixture_web, tmp_path,
     eng2.start(fixture_web["seeds"])
     assert eng2._corpus_bank_state is False and not eng2._f0_flagged
     assert "_in_corpus" not in eng2._frontier0.columns
+
+
+def test_round_table_codec_default_zstd(spark, tmp_path, monkeypatch):
+    """The scratch-tier write default is zstd (BENCH §3e codec A/B); the
+    lever still selects others and "spark" restores the session codec."""
+    import glob
+
+    from subdomain_crawler_spark.sources.tableio import ParquetSnapshotIO
+
+    df = spark.range(10).selectExpr("cast(id as string) as host")
+    io = ParquetSnapshotIO(spark, str(tmp_path / "w"))
+    monkeypatch.delenv("SPARK_GRAFT_LOG_CODEC", raising=False)
+    io.append("t", df, 0)
+    assert glob.glob(io.round_dir("t", 0) + "/*.zstd.parquet")
+    monkeypatch.setenv("SPARK_GRAFT_LOG_CODEC", "lz4")
+    io.append("t", df, 1)
+    assert glob.glob(io.round_dir("t", 1) + "/*.lz4*.parquet")  # lz4hadoop
+    monkeypatch.setenv("SPARK_GRAFT_LOG_CODEC", "spark")
+    io.append("t", df, 2)
+    assert glob.glob(io.round_dir("t", 2) + "/*.snappy.parquet")
+    # round-trip: the engine reads its own rounds regardless of codec
+    assert io.read_upto("t", 2).count() == 30
