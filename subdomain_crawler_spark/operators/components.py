@@ -24,13 +24,18 @@ Scale notes (10^10-node pair graphs):
   ride the block scan above it, which is also why the mid round of a
   stride cannot cheaply observe anything: its blocks are scanned three
   times by the next round's plan.)
-* One Spark action per TWO rounds: pointer jumping converges in
-  ~log2(diameter)+1 rounds, so convergence is checked once per stride —
-  and because the check is the stride's LAST round self-reporting a
-  no-op, a graph that converges inside the stride is detected in that
-  same action.  The common LSH dedup graph — tiny cliques, diameter
-  1-2 — converges in ONE driver action (round 1 relabels, round 2 is the
-  no-op proof).
+* One Spark action per round, each materializing that round's checkpoint
+  EAGERLY.  A two-round stride under a single action (mid round lazily
+  checkpointed) was tried and measured SLOWER at every interleaved pair
+  (sf0.1: +1.3-1.9 s vs per-round actions): the next round's plan scans
+  the mid table three times, and when those scans race inside one action
+  the not-yet-stored lazy-checkpoint partitions hit the block-cache lock
+  convoy (same mechanism as the wave-2b staging note in plans/crawl.py)
+  — costing more than the saved job launch.  At 10^10-node scale the
+  per-round job-launch floor (~100 ms) is noise against the round's data
+  movement, so per-round actions are the right shape there too.  The
+  common LSH dedup graph — tiny cliques, diameter 1-2 — still needs only
+  two actions (round 1 relabels, round 2 is the no-op proof).
 * Lineage is truncated EVERY round via ``localCheckpoint``: each round
   references the previous label table twice (propagation join + jump
   join), so an un-truncated logical plan DOUBLES per round — exponential
@@ -74,11 +79,38 @@ def free_checkpoint_blocks(df: DataFrame) -> None:
         pass  # best-effort
 
 
+def _driver_union_find(rows, id_type) -> list:
+    """Exact union-find (union-by-min + path halving) over collected
+    symmetric edge rows — the small-graph fast path.  Union-by-min makes
+    every root the component MINIMUM, matching the distributed labels
+    bit-for-bit."""
+    parent: dict = {}
+
+    def find(x):
+        r = parent.get(x, x)
+        while r != parent.get(r, r):
+            parent[x] = r = parent.get(parent[r], parent[r])
+            x = r
+        return r
+
+    for row in rows:
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+        # record both endpoints even when already joined
+        parent.setdefault(row[0], find(row[0]))
+        parent.setdefault(row[1], find(row[1]))
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "a",
     dst: str = "b",
     max_rounds: int = 50,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Label each node of the undirected graph ``pairs`` with the minimum
     node id of its connected component.
@@ -92,8 +124,21 @@ def connected_components(
     released when the caller drops the reference (or eagerly via
     ``free_checkpoint_blocks``).
 
+    Graphs at or under ``driver_threshold`` PAIRS run exact union-find on
+    the driver instead of the iterative loop: a LOUD, size-gated regime
+    split, not a silent cap — the edge count is known before the choice,
+    results are bit-identical (union-by-min roots ARE component minima),
+    and the memory bound is explicit (≤ 2·threshold int rows ≈ 32 MB at
+    the default).  Rationale: each distributed round costs ~6-8 AQE stage
+    waves of pure scheduling floor, so a 450-pair LSH graph pays seconds
+    for microseconds of work; the same regime split Spark itself applies
+    when it broadcasts a small join side.  ``driver_threshold=0`` forces
+    the distributed path (the scale shape, and what the adversarial
+    convergence tests pin).
+
     Raises RuntimeError if the labels have not provably converged within
-    ``max_rounds`` rounds.
+    ``max_rounds`` rounds (distributed path only — union-find needs no
+    iteration).
     """
     # symmetrize with ONE explode pass — a unionByName of two selects would
     # put the caller's pair plan (often a full MinHash-LSH banding over the
@@ -105,6 +150,17 @@ def connected_components(
              )).alias("e"))
              .select("e.a", "e.b")
              .persist())
+    n_edges = edges.count()  # materializes the persist (the caller's pair
+    # plan — often the full LSH banding — runs exactly once, here)
+    if n_edges <= 2 * driver_threshold:
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = pairs.schema[src].dataType
+        out = _driver_union_find(edges.collect(), id_type)
+        edges.unpersist()
+        return pairs.sparkSession.createDataFrame(
+            out, StructType([StructField("id", id_type, False),
+                             StructField("label", id_type, False)]))
     labels = (edges.select(F.col("a").alias("id")).distinct()
               .withColumn("label", F.col("id")).persist())
     seed_labels = labels  # the setup frame, unpersisted after round 0
@@ -141,29 +197,21 @@ def connected_components(
     rounds_run = 0
     last_changed = None
     while rounds_run < max_rounds:
-        stale = [labels]  # superseded tables to free after this stride
-        if rounds_run + 1 < max_rounds:  # two rounds, ONE action
-            mid = one_round(labels)
-            stale.append(mid)
-            new = one_round(mid)
-            rounds_run += 2
-        else:  # odd max_rounds tail
-            new = one_round(labels)
-            rounds_run += 1
+        new = one_round(labels)
+        rounds_run += 1
         obs = Observation()
-        # the observation rides ABOVE the stride's final checkpoint (below
-        # it metrics never fire); changed==0 ⇔ the last round was a no-op
-        # ⇔ fixed point (labels are monotone non-increasing). sum() is
-        # null on an empty graph — converged by definition.
+        # the observation rides ABOVE the round's checkpoint (below it
+        # metrics never fire); changed==0 ⇔ the round was a no-op ⇔ fixed
+        # point (labels are monotone non-increasing). sum() is null on an
+        # empty graph — converged by definition.
         (new.observe(obs, F.sum((F.col("label") != F.col("prev_label"))
                                 .cast("long")).alias("changed"))
-            .count())  # the stride's ONE action: materializes mid + new + obs
+            .count())  # the round's ONE action: materializes new + obs
         if seed_labels is not None:
             seed_labels.unpersist()  # the distinct-ids frame from setup
             seed_labels = None
-            stale = stale[1:]  # it was `labels`; persist-freed above instead
-        for df in stale:
-            free_checkpoint_blocks(df)
+        else:
+            free_checkpoint_blocks(labels)  # superseded round, freed eagerly
         labels = new
         last_changed = int(obs.get["changed"] or 0)
         if last_changed == 0:

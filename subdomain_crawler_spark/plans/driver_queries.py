@@ -1215,22 +1215,36 @@ def _lsh_band_pairs(docs: DataFrame,
         b = bands.select(F.col("doc_id").alias("b"), "bh")
         return (a.join(b, "bh").filter(F.col("a") < F.col("b"))
                  .select("a", "b").distinct())
-    # rank within bucket (one sort riding the same bh shuffle the self-join
-    # needs anyway; a mega-bucket's sort is O(k log k) vs the O(k²) clique)
-    w = Window.partitionBy("bh").orderBy("doc_id")
-    ranked = bands.withColumn("rn", F.row_number().over(w))
-    head = ranked.filter(F.col("rn") <= bucket_cap)
-    clique = (head.select(F.col("doc_id").alias("a"), "bh")
-              .join(head.select(F.col("doc_id").alias("b"), "bh"), "bh")
-              .filter(F.col("a") < F.col("b")).select("a", "b"))
-    # star: overflow members → bucket min (rn==1 is the smallest doc_id,
-    # so a < b holds by construction)
-    star = (ranked.filter(F.col("rn") > bucket_cap)
-            .select(F.col("doc_id").alias("b"), "bh")
-            .join(ranked.filter(F.col("rn") == 1)
-                  .select(F.col("doc_id").alias("a"), "bh"), "bh")
-            .select("a", "b"))
-    return clique.unionByName(star).distinct()
+    # Bucket size + bucket min in ONE un-sorted window pass (count/min over
+    # the whole partition need no sort, and the hash exchange on bh is the
+    # same one the self-join reuses).  Buckets within the cap take the
+    # plain clique self-join — identical subplans on both sides, so the
+    # exchange is computed once and reused — and the SORTED ranking window
+    # only ever sees rows of over-cap buckets (rare by construction; empty
+    # at test scale), so the common case pays ~nothing for the guard.  An
+    # earlier shape that ranked EVERY bucket and built the star via two
+    # more joins measured +1.8 s per dedup_groups run at sf0.1.
+    wp = Window.partitionBy("bh")
+    sized = bands.select(
+        "doc_id", "bh", F.count(F.lit(1)).over(wp).alias("k"),
+        F.min("doc_id").over(wp).alias("bmin"))
+    small = sized.filter(F.col("k") <= bucket_cap)
+    pairs_small = (small.select(F.col("doc_id").alias("a"), "bh")
+                   .join(small.select(F.col("doc_id").alias("b"), "bh"), "bh")
+                   .filter(F.col("a") < F.col("b")).select("a", "b"))
+    big = sized.filter(F.col("k") > bucket_cap)
+    ws = Window.partitionBy("bh").orderBy("doc_id")
+    bigr = big.withColumn("rn", F.row_number().over(ws))
+    bighead = bigr.filter(F.col("rn") <= bucket_cap)
+    clique_big = (bighead.select(F.col("doc_id").alias("a"), "bh")
+                  .join(bighead.select(F.col("doc_id").alias("b"), "bh"),
+                        "bh")
+                  .filter(F.col("a") < F.col("b")).select("a", "b"))
+    # star: overflow members → bucket min (bmin is rn==1, inside the
+    # clique, and < every overflow doc_id by construction)
+    star = (bigr.filter(F.col("rn") > bucket_cap)
+            .select(F.col("bmin").alias("a"), F.col("doc_id").alias("b")))
+    return pairs_small.unionByName(clique_big).unionByName(star).distinct()
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):

@@ -21,7 +21,8 @@ def test_long_chain_converges(spark):
     ~log2(39) + confirmation rounds, and every node must carry the true
     component minimum."""
     n = 40
-    out = connected_components(_pairs(spark, [(i, i + 1) for i in range(n)]))
+    out = connected_components(_pairs(spark, [(i, i + 1) for i in range(n)]),
+                               driver_threshold=0)
     got = _labels(out)
     assert got == {i: 0 for i in range(n + 1)}
 
@@ -43,7 +44,8 @@ def test_nonconvergence_raises(spark):
     wrong labels."""
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(
-            _pairs(spark, [(i, i + 1) for i in range(60)]), max_rounds=3)
+            _pairs(spark, [(i, i + 1) for i in range(60)]), max_rounds=3,
+            driver_threshold=0)
 
 
 def test_round_count_is_logarithmic(spark):
@@ -51,7 +53,8 @@ def test_round_count_is_logarithmic(spark):
     ~diameter rounds plain propagation needs — 12 rounds is ample for
     log2(59)+confirmation, and far below 59."""
     out = connected_components(
-        _pairs(spark, [(i, i + 1) for i in range(60)]), max_rounds=12)
+        _pairs(spark, [(i, i + 1) for i in range(60)]), max_rounds=12,
+        driver_threshold=0)
     got = _labels(out)
     assert got == {i: 0 for i in range(61)}
 
@@ -78,10 +81,29 @@ def test_no_leaked_cache_entries(spark):
 
     before = _persistent_rdd_ids(spark)
     out = connected_components(
-        _pairs(spark, [(i, i + 1) for i in range(30)] + [(50, 51)]))
+        _pairs(spark, [(i, i + 1) for i in range(30)] + [(50, 51)]),
+        driver_threshold=0)
     assert out.count() == 33
     leaked = _persistent_rdd_ids(spark) - before
     # the result itself is checkpoint-backed — exactly one live entry
     assert len(leaked) <= 1, f"leaked cache entries: {leaked}"
     free_checkpoint_blocks(out)
     assert not (_persistent_rdd_ids(spark) - before)
+
+
+def test_driver_fast_path_parity(spark):
+    """The size-gated union-find fast path must match the distributed loop
+    bit-for-bit on a mixed graph (chains + cliques + lone pairs + dup and
+    reversed edges)."""
+    edges = (
+        [(i, i + 1) for i in range(10, 15)]
+        + [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]
+        + [(100, 101), (101, 100), (100, 101)]      # dup + reversed
+        + [(59 - i, 60 - i) for i in range(20)]      # descending chain
+    )
+    fast = _labels(connected_components(_pairs(spark, edges)))
+    dist = _labels(connected_components(_pairs(spark, edges),
+                                        driver_threshold=0))
+    assert fast == dist
+    assert fast[101] == 100 and fast[15] == 10
+    assert all(fast[i] == 40 for i in range(40, 61))
