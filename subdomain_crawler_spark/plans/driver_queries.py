@@ -1179,9 +1179,13 @@ FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 def _lsh_band_pairs(docs: DataFrame,
                     bucket_cap: int | None = None) -> DataFrame:
     """MinHash-LSH candidate pairs over ``docs(doc_id, text)``: band the
-    64-perm signature into 8 bands × 8 rows, hash each band with md5
-    (SQL-portable — both engines produce identical hex digests of the same
-    band string), self-join on the band hash, dedup pairs. The banded
+    64-perm signature into 8 bands × 8 rows, hash each band with
+    ``xxhash64(band, band_sig)`` (an 8-byte JVM-native shuffle key — the
+    hash is INTERNAL, so the oracle's md5-string banding produces the same
+    buckets and identical pair output; an earlier md5-over-concat version
+    cost ~2 s of whole-stage-codegen compilation alone for the
+    transform/array_join/md5 expression tree), self-join on the band
+    hash, dedup pairs. The banded
     self-join bounds the pair explosion — the 100 TB-safe shape, PROVIDED
     exact duplicates were collapsed first (q_dedup_pipeline): k identical
     docs share every band bucket → k(k-1)/2 pairs per bucket.
@@ -1206,10 +1210,8 @@ def _lsh_band_pairs(docs: DataFrame,
             F.transform(F.sequence(F.lit(0), F.lit(7)),
                         lambda b: F.slice("sig", b * 8 + 1, 8))
         ).alias("band", "band_sig"))
-    bh = F.md5(F.concat_ws(":", F.col("band").cast("string"),
-                           F.array_join(F.transform(
-                               "band_sig", lambda x: x.cast("string")), ",")))
-    bands = bands.select("doc_id", bh.alias("bh"))
+    bands = bands.select("doc_id",
+                         F.xxhash64("band", "band_sig").alias("bh"))
     if bucket_cap is None:
         a = bands.select(F.col("doc_id").alias("a"), "bh")
         b = bands.select(F.col("doc_id").alias("b"), "bh")
