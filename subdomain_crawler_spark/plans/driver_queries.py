@@ -1258,11 +1258,13 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 def q_dedup_groups(spark, sf_dir):
     """Near-dup GROUPING — the pipeline step after pair generation: connected
     components of the MinHash-LSH pair graph, labeled by the component's
-    minimum doc_id.  Delegates to operators/components.py: min-label
-    propagation with pointer-jumping compression (O(log diameter) rounds,
-    one shuffle join + partial-agg groupBy + cached-table jump join per
-    round, exact Observation-sum convergence proof, RAISES rather than
-    returning unconverged labels — closes the round-4 silent-cap finding).
+    minimum doc_id.  Delegates to operators/components.py: exact driver
+    union-find for graphs at or under the loud 1M-pair gate (this scale),
+    min-label propagation with pointer-jumping compression above it
+    (O(log diameter) rounds, one shuffle join + partial-agg groupBy +
+    cached-table jump join per round, exact changed-count convergence
+    proof, RAISES rather than returning unconverged labels — closes the
+    round-4 silent-cap finding); labels are bit-identical on both paths.
     Pairs are generated with bucket_cap=64 (see _lsh_band_pairs: star
     expansion keeps components provably identical to the uncapped graph,
     so the closure oracle stays exact while near-dup clone sets can't
