@@ -344,7 +344,10 @@ class CrawlEngine:
         # (crawl_usecase.go:239-242) preserved inside the kernel.
         # width sized by the WORK (~250k expanded rows/task): partitions
         # may exceed cores (tasks queue) — that bounds per-task pandas
-        # memory at any seed-list size.
+        # memory at any seed-list size.  (Spreading small lists across all
+        # cores was A/B'd and measured NEUTRAL — the leg's fixed cost is
+        # first-Python-worker startup + the frontier0 write, not kernel
+        # serialization — so the simpler work-sized formula stays.)
         fanout = len(prefixes) + 1
         width = max(1, (len(seeds) * fanout) // 250_000 + 1)
         key = F.coalesce(udfs.udf_get_root("seed"), F.col("seed"))
