@@ -65,7 +65,25 @@ PSL_RULES: tuple[str, ...] = (
     "ae", "ke", "co.ke", "ng", "com.ng",
     # wildcard + exception forms (real PSL entries for the Cook Islands)
     "ck", "*.ck", "!www.ck",
+    # wildcard whose parent is itself REGISTRABLE (real PSL entries, JP
+    # prefecture block): kawasaki.jp is an SLD under "jp", yet
+    # *.kawasaki.jp makes every child its own public suffix (except the
+    # excepted city host).  This is the rule class where the seed-expander
+    # root shortcut must NOT fire (see wildcard_parents / plans/crawl.py).
+    "*.kawasaki.jp", "!city.kawasaki.jp",
 )
+
+
+@functools.lru_cache(maxsize=1)
+def wildcard_parents() -> frozenset:
+    """Exact parents of wildcard rules (``*.X`` → X).  For such an X,
+    every child ``p.X`` is itself a public suffix (unless excepted), so
+    ``etld_plus_one(p.X)`` is a PSL error — or, for an excepted child,
+    ``p.X`` itself.  Either way the identity ``etld1(p.X) == X`` FAILS,
+    so the fused seed expander must route seeds equal to a wildcard
+    parent through the full per-host kernel instead of the root
+    shortcut (plans/crawl._make_seed_expander)."""
+    return frozenset(r[2:] for r in PSL_RULES if r.startswith("*."))
 
 
 @functools.lru_cache(maxsize=1)

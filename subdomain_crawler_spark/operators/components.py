@@ -79,7 +79,7 @@ def free_checkpoint_blocks(df: DataFrame) -> None:
         pass  # best-effort
 
 
-def _driver_union_find(rows, id_type) -> list:
+def _driver_union_find(rows) -> list:
     """Exact union-find (union-by-min + path halving) over collected
     symmetric edge rows — the small-graph fast path.  Union-by-min makes
     every root the component MINIMUM, matching the distributed labels
@@ -156,7 +156,7 @@ def connected_components(
         from pyspark.sql.types import StructField, StructType
 
         id_type = pairs.schema[src].dataType
-        out = _driver_union_find(edges.collect(), id_type)
+        out = _driver_union_find(edges.collect())
         edges.unpersist()
         return pairs.sparkSession.createDataFrame(
             out, StructType([StructField("id", id_type, False),

@@ -104,21 +104,25 @@ def _make_seed_expander(prefixes: list[str], expand_sld: bool,
     the global groupBy-shuffle of the EXPANDED set is unnecessary.
 
     The expansion rows' root skips the PSL kernel entirely: for an SLD
-    seed ``s`` (etld1(s) == s), etld1(p + "." + s) == s for EVERY prefix —
-    including wildcard (`*.ck`) and exception (`!city.kawasaki.jp`) rule
-    classes, because the prevailing-rule match over ``p.s``'s tail is the
-    same match that made ``s`` an SLD (pinned by
-    tests/test_core.py::test_expansion_root_shortcut). That removes the
-    ~134× per-host eTLD+1 calls that dominated the leg's CPU at local[1].
-    Seeds where raw != canonicalize(raw) (embedded whitespace survivors of
-    the JVM trim) fall back to the full per-host kernel, preserving the
-    old path's byte-exact roots."""
+    seed ``s`` (etld1(s) == s), etld1(p + "." + s) == s for every prefix
+    — EXCEPT when ``s`` is the exact parent of a wildcard rule
+    (``*.s`` ∈ PSL, e.g. the real-PSL ``*.kawasaki.jp`` under the SLD
+    ``kawasaki.jp``): there every child ``p.s`` is itself a public
+    suffix (PSL error → reference fallback root = the full host,
+    crawl_usecase.go:239-242) or an excepted child whose root is
+    ``p.s``, so those seeds — and seeds where
+    raw != canonicalize(raw) — fall back to the full per-host kernel
+    (pinned by tests/test_core.py::test_expansion_root_shortcut and the
+    kawasaki cases).  For every other rule class the prevailing-rule
+    match over ``p.s``'s tail is the same match that made ``s`` an SLD.
+    The shortcut removes the ~134× per-host eTLD+1 calls that dominated
+    the leg's CPU at local[1]."""
     import numpy as np
 
     parr = np.array(prefixes, dtype=object)
 
     def expand_partition(batches):
-        from ..functions import core
+        from ..functions import core, psl
 
         chunks = [pdf["seed"] for pdf in batches if len(pdf)]
         if not chunks:
@@ -136,8 +140,12 @@ def _make_seed_expander(prefixes: list[str], expand_sld: bool,
                 H = len(parr)
                 exp_host = (np.tile(parr, len(raw)) + "."
                             + np.repeat(raw, H))
+                # shortcut-unsafe: non-canonical raw seeds AND wildcard-
+                # rule parents (etld1(p.s) != s there — see docstring)
                 safe = np.repeat(
-                    (seeds == canon).to_numpy(dtype=bool)[is_sld], H)
+                    ((seeds == canon)
+                     & ~canon.isin(psl.wildcard_parents()))
+                    .to_numpy(dtype=bool)[is_sld], H)
                 exp_root = np.repeat(raw, H)  # == canon seed where safe
                 if not safe.all():
                     odd = pd.Series(exp_host[~safe])
@@ -442,6 +450,15 @@ class CrawlEngine:
                 frontier.unpersist()
                 break
             st, n = self._run_round(rnd, frontier, n, flagged=flagged)
+            if flagged and self._corpus_bank_bc is not None:
+                # the expansion round was the only consumer of the corpus-
+                # membership bank (config.corpus_filter): free its
+                # serialized shards on driver + executors now rather than
+                # at context teardown. Safe: _run_round unpersisted the
+                # flagged frontier cache, so no surviving plan can need
+                # the broadcast for recompute.
+                self._corpus_bank_bc.destroy()
+                self._corpus_bank_bc = None
             stats.append(st)
             if progress:
                 progress(st)

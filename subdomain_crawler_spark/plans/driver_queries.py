@@ -1179,13 +1179,12 @@ FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 def _lsh_band_pairs(docs: DataFrame,
                     bucket_cap: int | None = None) -> DataFrame:
     """MinHash-LSH candidate pairs over ``docs(doc_id, text)``: band the
-    64-perm signature into 8 bands × 8 rows, hash each band with
-    ``xxhash64(band, band_sig)`` (an 8-byte JVM-native shuffle key — the
-    hash is INTERNAL, so the oracle's md5-string banding produces the same
-    buckets and identical pair output; an earlier md5-over-concat version
-    cost ~2 s of whole-stage-codegen compilation alone for the
-    transform/array_join/md5 expression tree), self-join on the band
-    hash, dedup pairs. The banded
+    64-perm signature into 8 bands × 8 rows, key each band with a 128-bit
+    two-seed xxhash64 struct (a 16-byte JVM-native shuffle key — the key
+    is INTERNAL, so the oracle's md5-string banding produces the same
+    buckets and identical pair output; see the inline note on why 64 bits
+    is not enough at scale and why md5's codegen was dropped), self-join
+    on the band key, dedup pairs. The banded
     self-join bounds the pair explosion — the 100 TB-safe shape, PROVIDED
     exact duplicates were collapsed first (q_dedup_pipeline): k identical
     docs share every band bucket → k(k-1)/2 pairs per bucket.
@@ -1210,8 +1209,19 @@ def _lsh_band_pairs(docs: DataFrame,
             F.transform(F.sequence(F.lit(0), F.lit(7)),
                         lambda b: F.slice("sig", b * 8 + 1, 8))
         ).alias("band", "band_sig"))
-    bands = bands.select("doc_id",
-                         F.xxhash64("band", "band_sig").alias("bh"))
+    # 128-bit band key: two independent-seed xxhash64s in a struct.  One
+    # 64-bit hash invites birthday collisions at the documented scale
+    # (8×10^10 band keys → expected colliding buckets, each silently
+    # merging unrelated dedup groups with no downstream similarity check);
+    # 128 bits puts the expected collision count back to ~0 while keeping
+    # a 16-byte JVM-native shuffle key (vs the old 32-byte md5 hex string
+    # whose transform/array_join/md5 tree also cost ~2 s of first-run
+    # whole-stage codegen).
+    bands = bands.select(
+        "doc_id",
+        F.struct(F.xxhash64("band", "band_sig").alias("h1"),
+                 F.xxhash64(F.lit(1), "band", "band_sig").alias("h2"))
+         .alias("bh"))
     if bucket_cap is None:
         a = bands.select(F.col("doc_id").alias("a"), "bh")
         b = bands.select(F.col("doc_id").alias("b"), "bh")

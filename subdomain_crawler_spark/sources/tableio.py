@@ -209,32 +209,38 @@ class IcebergSnapshotIO:
     # -- table append / read --------------------------------------------------
 
     def append(self, table: str, df: DataFrame, round_no: int) -> None:
-        out = df.withColumn("round", F_lit(int(round_no)))
+        # partition on a PRIVATE column so a caller's own "round" column
+        # (http_log/dns_log/results carry one) survives the roundtrip
+        # exactly as ParquetSnapshotIO returns it — the exporters select
+        # F.col("round") from read_upto output (sources/jsonl.py), so
+        # hijacking the name breaks the "same interface" twin claim
+        out = df.withColumn("_snap_round", F_lit(int(round_no)))
         t = self._qual(table)
         if not self.spark.catalog.tableExists(t):
-            # identity-partition by round: per-round reads prune to one
-            # partition, exactly like the round=N parquet directories
-            out.writeTo(t).partitionedBy(F_col("round")).create()
+            # identity-partition by snapshot round: per-round reads prune
+            # to one partition, exactly like the round=N parquet dirs
+            out.writeTo(t).partitionedBy(F_col("_snap_round")).create()
         else:
             out.writeTo(t).append()
 
     def read_round(self, table: str, round_no: int) -> DataFrame:
         return (self.spark.table(self._qual(table))
-                .filter(f"round = {int(round_no)}").drop("round"))
+                .filter(f"_snap_round = {int(round_no)}")
+                .drop("_snap_round"))
 
     def read_upto(self, table: str, round_no: int) -> DataFrame | None:
         t = self._qual(table)
         if not self.spark.catalog.tableExists(t):
             return None
         df = (self.spark.table(t)
-              .filter(f"round <= {int(round_no)}").drop("round"))
+              .filter(f"_snap_round <= {int(round_no)}").drop("_snap_round"))
         return df if df.head(1) else None
 
     def exists(self, table: str, round_no: int) -> bool:
         t = self._qual(table)
         return (self.spark.catalog.tableExists(t)
                 and bool(self.spark.table(t)
-                         .filter(f"round = {int(round_no)}").head(1)))
+                         .filter(f"_snap_round = {int(round_no)}").head(1)))
 
     def append_local(self, table: str, pdf, round_no: int) -> None:
         self.append(table, self.spark.createDataFrame(pdf), round_no)

@@ -324,8 +324,18 @@ def test_expansion_root_shortcut():
     prefixes = core.merged_prefixes()
     for s in sld_seeds:
         assert psl.etld_plus_one(s) == s, f"fixture must be SLD: {s}"
+        assert s not in psl.wildcard_parents()
         for p in prefixes:
             assert psl.etld_plus_one(f"{p}.{s}") == s, (p, s)
+    # the COUNTEREXAMPLE class (round-6 review finding): a wildcard rule
+    # whose parent is itself an SLD (*.kawasaki.jp, real PSL entry) makes
+    # every expansion host its own public suffix — the identity FAILS and
+    # the expander must route these seeds through the full kernel
+    kaw = "kawasaki.jp"
+    assert psl.etld_plus_one(kaw) == kaw          # it IS an SLD
+    assert kaw in psl.wildcard_parents()           # and shortcut-unsafe
+    assert psl.etld_plus_one(f"www.{kaw}") is None          # wildcard
+    assert psl.etld_plus_one(f"city.{kaw}") == f"city.{kaw}"  # exception
 
 
 def test_fused_seed_expander_matches_reference():
@@ -339,7 +349,11 @@ def test_fused_seed_expander_matches_reference():
 
     seeds = ["example.com", "www.example.com", "example.com",  # dup + overlap
              "b.site.ck", "www.ck", "single", "deep.a.edu.cn",
-             "foo.co.uk", "x.www.ck"]
+             "foo.co.uk", "x.www.ck",
+             # wildcard-rule PARENT (*.kawasaki.jp): an SLD whose expansion
+             # hosts are PSL errors (root = full host) or the excepted
+             # child — the one class where the root shortcut must NOT fire
+             "kawasaki.jp"]
     prefixes = core.merged_prefixes()
     kernel = _make_seed_expander(prefixes, True)
     out = pd.concat(list(kernel(iter([pd.DataFrame({"seed": seeds})]))),

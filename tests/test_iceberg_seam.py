@@ -61,10 +61,19 @@ def test_append_read_roundtrip(iceberg_spark):
     assert not io.exists("frontier", 2)
     r0 = io.read_round("frontier", 0)
     assert sorted(r.host for r in r0.collect()) == ["a.com", "b.com"]
-    assert "round" not in r0.columns  # the partition column stays internal
+    assert "_snap_round" not in r0.columns  # partition col stays internal
     both = io.read_upto("frontier", 1)
     assert both.count() == 4
     assert io.read_upto("missing_table", 5) is None
+    # a caller-owned "round" column (http_log/dns_log/results carry one)
+    # must survive the roundtrip — the JSONL exporters select it from
+    # read_upto output, and ParquetSnapshotIO preserves it (parity)
+    logs = iceberg_spark.createDataFrame(
+        [(0, "a.com", "https")], "round INT, host STRING, proto STRING")
+    io.append("http_log", logs, 0)
+    back = io.read_upto("http_log", 0)
+    assert back.columns == ["round", "host", "proto"]
+    assert back.head()["round"] == 0
 
 
 def test_commit_resume_contract(iceberg_spark):

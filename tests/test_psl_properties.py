@@ -17,7 +17,8 @@ LABEL = st.from_regex(r"[a-z0-9]([a-z0-9-]{0,8}[a-z0-9])?", fullmatch=True)
 # wildcard (*.ck), exception (!www.ck), and an unknown TLD (default rule)
 SUFFIX = st.sampled_from(
     ["com", "io", "cn", "co.uk", "edu.cn", "com.br", "ac.jp", "ck",
-     "www.ck", "unknowntld", "zz"])
+     "www.ck", "unknowntld", "zz",
+     "kawasaki.jp", "city.kawasaki.jp"])  # wildcard-parent + exception
 
 HOST = st.builds(
     lambda labels, suf: ".".join(labels + [suf]),
