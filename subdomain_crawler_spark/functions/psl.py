@@ -86,6 +86,26 @@ def wildcard_parents() -> frozenset:
     return frozenset(r[2:] for r in PSL_RULES if r.startswith("*."))
 
 
+def wildcard_subtree_parent_one(domain: str) -> str | None:
+    """The wildcard-rule parent X (``*.X`` ∈ PSL) whose subtree contains
+    ``domain`` (domain == X or domain ends with ".X"), else None.
+
+    Used by the fused seed expander's partitioning key: inside such a
+    subtree the ``coalesce(etld1, host)`` key does NOT colocate all
+    emitters of a host (seed ``www.X`` keys to itself while seed ``X``'s
+    expansion also emits ``www.X``; an excepted child ``!city.X`` keys to
+    itself likewise), so the whole subtree must collapse to one key — any
+    seed that can emit a host in the subtree is itself in the subtree,
+    which makes this exact.  Wildcard rules are rare in the PSL (a handful
+    of JP-prefecture blocks, *.ck, a few hosting providers), so the
+    one-key-per-subtree skew is bounded by the seed list's density under
+    those specific parents."""
+    for wp in wildcard_parents():
+        if domain == wp or domain.endswith("." + wp):
+            return wp
+    return None
+
+
 @functools.lru_cache(maxsize=1)
 def _rule_index() -> tuple[dict[tuple[str, ...], bool], int]:
     """Map reversed-label tuples → is_exception; plus max rule length."""

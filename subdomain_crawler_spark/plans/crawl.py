@@ -97,11 +97,22 @@ def _make_seed_expander(prefixes: list[str], expand_sld: bool,
     crawl, BENCH §3d/§3e).
 
     Correctness requires the input to be hash-partitioned by
-    ``coalesce(get_root(seed), seed)``: two emissions of the same host can
-    only come from seeds sharing that key (identity seed ``p.s`` and
-    expansion of SLD seed ``s`` both key to ``s``; PSL-error seeds never
-    expand and key to themselves), so a per-partition dedup is exact —
-    the global groupBy-shuffle of the EXPANDED set is unnecessary.
+    ``core.expand_partition_key(seed)``: two emissions of the same host
+    can only come from seeds sharing that key.  Outside wildcard-rule
+    subtrees the key is ``coalesce(get_root(seed), seed)`` — identity seed
+    ``p.s`` and expansion of SLD seed ``s`` both key to ``s``, and
+    PSL-error seeds never expand and key to themselves.  INSIDE a
+    wildcard-parent subtree (``*.X`` ∈ PSL) that key scatters emitters
+    (seed ``www.X`` is a PSL error keying to itself while seed ``X``'s
+    expansion emits the same host from partition ``X``; an excepted child
+    ``!city.X`` keys to itself likewise — round-7 ADVICE fix), so every
+    seed with suffix ``X`` keys to ``X`` — exact because any seed that can
+    emit a subtree host is itself in the subtree.  With the invariant
+    restored, a per-partition dedup is globally exact — the global
+    groupBy-shuffle of the EXPANDED set stays unnecessary.  Duplicate
+    hosts always carry identical (root, depth=0) rows (both emitters
+    derive root via the same etld1-with-fallback), so first-wins
+    drop_duplicates is canonical.
 
     The expansion rows' root skips the PSL kernel entirely: for an SLD
     seed ``s`` (etld1(s) == s), etld1(p + "." + s) == s for every prefix
@@ -342,12 +353,14 @@ class CrawlEngine:
         prefixes = core.merged_prefixes(list(cfg.custom_prefixes)) \
             if cfg.expand_sld else []
         # one tiny shuffle of the SEED list (not the ~134× expanded set):
-        # hash-partition by coalesce(get_root(seed), seed) so every seed
-        # that can emit a given host lands in one partition, then expand +
-        # dedup in ONE fused Arrow pass (_make_seed_expander). The old
-        # shape (JVM explode → per-host get_root UDF → global groupBy)
-        # shuffled the full 10^7-row expansion and was the crawl's
-        # worst-scaling leg. depth hardcoded 0 even for expanded
+        # hash-partition by core.expand_partition_key(seed) — wildcard-
+        # parent subtrees collapse to one key, else coalesce(get_root,
+        # seed) — so every seed that can emit a given host lands in one
+        # partition, then expand + dedup in ONE fused Arrow pass
+        # (_make_seed_expander; the dedup-invariant proof lives in its
+        # docstring). The old shape (JVM explode → per-host get_root UDF →
+        # global groupBy) shuffled the full 10^7-row expansion and was the
+        # crawl's worst-scaling leg. depth hardcoded 0 even for expanded
         # subdomains (crawl_usecase.go:248); PSL-error root fallback quirk
         # (crawl_usecase.go:239-242) preserved inside the kernel.
         # width sized by the WORK (~250k expanded rows/task): partitions
@@ -356,9 +369,12 @@ class CrawlEngine:
         # cores was A/B'd and measured NEUTRAL — the leg's fixed cost is
         # first-Python-worker startup + the frontier0 write, not kernel
         # serialization — so the simpler work-sized formula stays.)
+        # SPARK_GRAFT_SEED_WIDTH forces the partition count (tests pin the
+        # multi-partition dedup invariant on small seed lists with it).
         fanout = len(prefixes) + 1
-        width = max(1, (len(seeds) * fanout) // 250_000 + 1)
-        key = F.coalesce(udfs.udf_get_root("seed"), F.col("seed"))
+        width = (int(_os_mod.environ.get("SPARK_GRAFT_SEED_WIDTH", "0"))
+                 or max(1, (len(seeds) * fanout) // 250_000 + 1))
+        key = udfs.udf_expand_key("seed")
         # round 0 will run in the giant-join regime → stamp the corpus-
         # membership flag during expansion (one fused pass; the flag rides
         # the f0 CACHE only — the frontier table on disk keeps its schema)

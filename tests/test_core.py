@@ -338,6 +338,43 @@ def test_expansion_root_shortcut():
     assert psl.etld_plus_one(f"city.{kaw}") == f"city.{kaw}"  # exception
 
 
+def test_expand_partition_key_invariant():
+    """The expander's dedup is per-partition, so its exactness rests on:
+    any two seeds whose expansions can emit the SAME host must share a
+    partition key (core.expand_partition_key). Check the targeted
+    wildcard-subtree cases (the round-7 ADVICE bug) and then brute-force
+    the invariant over a mixed seed list: emission-set intersection ⇒ key
+    equality."""
+    from subdomain_crawler_spark.functions import core
+
+    k = core.expand_partition_key_one
+    # wildcard subtree (*.kawasaki.jp): ALL of these collapse to the parent
+    assert k("kawasaki.jp") == "kawasaki.jp"
+    assert k("www.kawasaki.jp") == "kawasaki.jp"       # PSL-error child
+    assert k("city.kawasaki.jp") == "kawasaki.jp"      # exception child
+    assert k("x.city.kawasaki.jp") == "kawasaki.jp"    # exception grandchild
+    assert k("a.b.kawasaki.jp") == "kawasaki.jp"
+    assert k("www.ck") == "ck" and k("bar.ck") == "ck" and k("ck") == "ck"
+    # outside wildcard subtrees: coalesce(etld1, canon)
+    assert k("example.com") == "example.com"
+    assert k("www.example.com") == "example.com"
+    assert k("single") == "single"                      # PSL error
+    assert k(" Example.COM ") == "example.com"          # canonicalizes first
+
+    seeds = ["example.com", "www.example.com", "kawasaki.jp",
+             "www.kawasaki.jp", "city.kawasaki.jp", "x.city.kawasaki.jp",
+             "b.kawasaki.jp", "foo.co.uk", "a.foo.co.uk", "ck", "www.ck",
+             "bar.ck", "x.www.ck", "single", "deep.a.edu.cn", "a.io"]
+    prefixes = core.merged_prefixes(["city"])  # force the exception-child
+    # emission via a custom prefix (expansion of kawasaki.jp emits
+    # city.kawasaki.jp — the case the advised PSL-error-only fix missed)
+    emits = {s: set(core.expand_domain_one(s, prefixes)) for s in seeds}
+    for s1 in seeds:
+        for s2 in seeds:
+            if emits[s1] & emits[s2]:
+                assert k(s1) == k(s2), (s1, s2)
+
+
 def test_fused_seed_expander_matches_reference():
     """One fused-kernel pass over a mixed seed partition must equal the
     reference expansion semantics row-for-row (expand_domain_one + PSL-error

@@ -174,3 +174,38 @@ def test_depth4_host_seen_but_never_crawled(crawl_pair):
     for r in range(len(stats)):
         hosts = {x.host for x in eng.io.read_round("frontier", r).collect()}
         assert deep not in hosts
+
+
+def test_wildcard_parent_seeds_multipartition_dedup(spark, tmp_path,
+                                                    monkeypatch):
+    """Round-7 ADVICE (high): with seed-expander width > 1, seeds
+    'kawasaki.jp' (wildcard-rule parent, expands) and 'www.kawasaki.jp'
+    (PSL-error child, identity row) must still land in ONE partition —
+    the old coalesce(get_root, seed) key scattered them, so the
+    per-partition dedup missed the cross-partition duplicate host and
+    round 0 processed www.kawasaki.jp twice. Pin: frontier 0 has no
+    duplicate hosts and equals the deduped reference expansion."""
+    monkeypatch.setenv("SPARK_GRAFT_SEED_WIDTH", "8")
+    corpus = spark.createDataFrame(
+        [("kawasaki.jp", ["https"], 200, "hello")],
+        "host string, proto_ok array<string>, status_code int, caption string")
+    dns = spark.createDataFrame(
+        [("kawasaki.jp", ["1.2.3.4"], 0)],
+        "host string, ips array<string>, rcode int")
+    cfg = CrawlConfig(honor_robots=False)
+    seeds = ["kawasaki.jp", "www.kawasaki.jp", "city.kawasaki.jp",
+             "x.city.kawasaki.jp", "example.com", "www.example.com",
+             "www.ck", "bar.ck"]
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "crawl"), corpus, dns)
+    eng.start(seeds)
+    got = eng.io.read_round("frontier", 0).toPandas()
+    assert got["host"].is_unique, (
+        got[got["host"].duplicated(keep=False)].sort_values("host"))
+    from subdomain_crawler_spark.plans.reference_sim import expand_seeds
+    want = {}
+    for host, root, depth in expand_seeds(seeds, cfg):
+        cur = want.get(host)
+        if cur is None or (root, depth) < cur:
+            want[host] = (root, depth)
+    assert {(r.host, r.root, r.depth) for r in got.itertuples()} \
+        == {(h, rd[0], rd[1]) for h, rd in want.items()}
