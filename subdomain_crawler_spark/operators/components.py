@@ -110,7 +110,7 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_rounds: int = 50,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = 250_000,
 ) -> DataFrame:
     """Label each node of the undirected graph ``pairs`` with the minimum
     node id of its connected component.
@@ -128,8 +128,13 @@ def connected_components(
     the driver instead of the iterative loop: a LOUD, size-gated regime
     split, not a silent cap — the edge count is known before the choice,
     results are bit-identical (union-by-min roots ARE component minima),
-    and the memory bound is explicit (≤ 2·threshold int rows ≈ 32 MB at
-    the default).  Rationale: each distributed round costs ~6-8 AQE stage
+    and the memory bound is explicit: the edges cross as TWO Arrow int64
+    columns (toPandas — no driver Row objects), ≤ 2·threshold rows
+    ≈ 8 MB at the default, and the transient Python-object peak (edge
+    tuples + the parent dict over ≤ 2·threshold distinct nodes) is
+    ~100-150 MB at the default — the round-7 ADVICE fix: the old
+    ``collect()`` at a 1M-pair default built up to 2M driver Rows
+    (hundreds of MB) while the docstring claimed 32 MB.  Rationale: each distributed round costs ~6-8 AQE stage
     waves of pure scheduling floor, so a 450-pair LSH graph pays seconds
     for microseconds of work; the same regime split Spark itself applies
     when it broadcasts a small join side.  ``driver_threshold=0`` forces
@@ -156,8 +161,13 @@ def connected_components(
         from pyspark.sql.types import StructField, StructType
 
         id_type = pairs.schema[src].dataType
-        out = _driver_union_find(edges.collect())
+        # Arrow transfer: two int64 columns, no driver-side Row objects
+        # (collect() built one Row per symmetrized edge — hundreds of MB
+        # of Python objects at the threshold; toPandas is ~16 B/row)
+        pdf = edges.toPandas()
         edges.unpersist()
+        out = _driver_union_find(
+            zip(pdf["a"].tolist(), pdf["b"].tolist()))
         return pairs.sparkSession.createDataFrame(
             out, StructType([StructField("id", id_type, False),
                              StructField("label", id_type, False)]))

@@ -177,13 +177,17 @@ class IcebergSnapshotIO:
     # -- manifest (a one-column Iceberg table; committed = max round) --------
 
     def committed_round(self) -> int:
-        try:
-            row = self.spark.sql(
-                f"SELECT max(committed_round) AS r "
-                f"FROM {self._qual('_commits')}").head()
-            return -1 if row is None or row["r"] is None else int(row["r"])
-        except Exception:
-            return -1  # no commits table yet
+        # Only the no-commits-table-yet case maps to -1; any other failure
+        # (transient catalog/IO error during resume) PROPAGATES — a
+        # blanket except here would make such an error indistinguishable
+        # from "nothing committed" and silently restart a crawl from
+        # round 0 over existing tables (round-7 ADVICE fix).
+        if not self.spark.catalog.tableExists(self._qual("_commits")):
+            return -1
+        row = self.spark.sql(
+            f"SELECT max(committed_round) AS r "
+            f"FROM {self._qual('_commits')}").head()
+        return -1 if row is None or row["r"] is None else int(row["r"])
 
     def commit_round(self, round_no: int, extra: dict | None = None) -> None:
         import json as _json
