@@ -80,7 +80,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def _crawl_over(spark, base: str, seeds: list[str], label: dict) -> dict:
+def _crawl_over(spark, base: str, seeds, label: dict) -> dict:
     from subdomain_crawler_spark.config import CrawlConfig
     from subdomain_crawler_spark.plans.crawl import CrawlEngine
 
@@ -151,6 +151,13 @@ def scaling_web_dir(n_roots: int, hosts_per_root: int, bloat: int) -> str:
                                n_files={"corpus": 64, "dns": 16})
         with open(marker, "w") as f:
             f.write("ok")
+    # seed FILE alongside the corpus (written even for pre-existing cached
+    # dirs): the scaling crawl ingests seeds via spark.read.text — the
+    # production S1 shape (round-7) — instead of a driver list
+    seeds_path = os.path.join(base, "seeds.txt")
+    if not os.path.exists(seeds_path):
+        with open(seeds_path, "w") as f:
+            f.writelines(f"site{i}.com\n" for i in range(n_roots))
     return base
 
 
@@ -159,7 +166,7 @@ def run_scaling_crawl(spark, cpus: int) -> dict:
     hpr = int(os.environ.get("SPARK_GRAFT_SCALING_HPR", "24"))
     bloat = int(os.environ.get("SPARK_GRAFT_SCALING_BLOAT", "120"))
     base = scaling_web_dir(n_roots, hpr, bloat)
-    seeds = [f"site{i}.com" for i in range(n_roots)]
+    seeds = spark.read.text(os.path.join(base, "seeds.txt"))
     return _crawl_over(spark, base, seeds,
                        {"cpus": cpus, "n_roots": n_roots,
                         "hosts_per_root": hpr, "bloat_words": bloat})

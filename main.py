@@ -93,11 +93,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
-def read_seeds(path: str) -> list[str]:
-    if path == "-":
-        return [line.rstrip("\n") for line in sys.stdin]
-    with open(path) as f:
-        return [line.rstrip("\n") for line in f]
+def read_seeds_stdin() -> list[str]:
+    """stdin seeds stay a driver-side list (reference parity: the Go
+    assembler reads its input serially, assembler.go:106-139); FILE seed
+    paths never touch this — main() hands them to ``spark.read.text`` so
+    a 10^8-line seed file is scanned on executors, not the driver."""
+    return [line.rstrip("\n") for line in sys.stdin]
 
 
 def build_spark(workers: int):
@@ -147,9 +148,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     engine = CrawlEngine(spark, cfg, args.workdir, corpus, dns, robots=robots)
 
-    seeds: list[str] | None = None
+    seeds = None
     if not (args.resume and engine.resume_round() > 0):
-        seeds = read_seeds(args.seeds)
+        # '-' = stdin (driver-side list, reference parity); a path is read
+        # distributed — spark.read.text, no driver materialization (S1
+        # scale path, round-7)
+        seeds = (read_seeds_stdin() if args.seeds == "-"
+                 else spark.read.text(args.seeds))
 
     dash = None
     if args.dashboard:

@@ -333,19 +333,36 @@ class CrawlEngine:
 
     # -- lifecycle -----------------------------------------------------------
 
-    def start(self, seeds: list[str]) -> None:
+    def start(self, seeds: list[str] | DataFrame) -> None:
         """Round-0 frontier from seeds — S1 parse + X4 expansion + root stamp
-        (assembler.go:106-159 + crawl_usecase.go:237-263), DISTRIBUTED: only
-        the raw seed lines cross the driver boundary; the ~134× prefix
-        fan-out happens as a columnar explode on executors (a driver-side
-        expansion of a 10^8-seed list would materialize 10^10 rows in the
-        driver). Semantics identical to reference_sim.expand_seeds —
-        e2e goldens compare the two."""
+        (assembler.go:106-159 + crawl_usecase.go:237-263), DISTRIBUTED: the
+        ~134× prefix fan-out happens as a fused Arrow kernel on executors (a
+        driver-side expansion of a 10^8-seed list would materialize 10^10
+        rows in the driver). Semantics identical to reference_sim.
+        expand_seeds — e2e goldens compare the two.
+
+        ``seeds`` is either a list of raw lines (stdin / tests — reference
+        parity: assembler.go:106-139 reads the input serially too) or a
+        single-string-column DataFrame of raw lines (``spark.read.text``),
+        in which case NOTHING scales with the seed count on the driver —
+        the file is scanned, cleaned, counted (one distributed job, for
+        width sizing) and expanded entirely on executors (round-7: the
+        driver list + createDataFrame hop was the last driver-side
+        materialization that grew with input size)."""
         from ..functions import core
 
         cfg = self.cfg
-        lines = self.spark.createDataFrame(
-            pd.DataFrame({"line": pd.Series(seeds, dtype="string")}))
+        if isinstance(seeds, DataFrame):
+            if len(seeds.columns) != 1:
+                raise ValueError(
+                    "seeds DataFrame must have exactly one string column "
+                    f"of raw lines, got {seeds.columns}")
+            lines = seeds.select(F.col(seeds.columns[0]).alias("line"))
+            n_seeds = None  # counted below, one distributed scan
+        else:
+            n_seeds = len(seeds)
+            lines = self.spark.createDataFrame(
+                pd.DataFrame({"line": pd.Series(seeds, dtype="string")}))
         cleaned = (lines.select(F.trim("line").alias("line"))
                    .filter((F.col("line") != "")
                            & ~F.col("line").startswith("#"))
@@ -372,14 +389,19 @@ class CrawlEngine:
         # SPARK_GRAFT_SEED_WIDTH forces the partition count (tests pin the
         # multi-partition dedup invariant on small seed lists with it).
         fanout = len(prefixes) + 1
+        if n_seeds is None:
+            # file path: size the width from a distributed line count (one
+            # scan of the raw seed bytes, once per crawl — the ONLY job the
+            # seed count costs; the list path keeps its zero-job formula)
+            n_seeds = lines.count()
         width = (int(_os_mod.environ.get("SPARK_GRAFT_SEED_WIDTH", "0"))
-                 or max(1, (len(seeds) * fanout) // 250_000 + 1))
+                 or max(1, (n_seeds * fanout) // 250_000 + 1))
         key = udfs.udf_expand_key("seed")
         # round 0 will run in the giant-join regime → stamp the corpus-
         # membership flag during expansion (one fused pass; the flag rides
         # the f0 CACHE only — the frontier table on disk keeps its schema)
         bank_bc = None
-        if cfg.corpus_filter and len(seeds) * fanout > BROADCAST_FRONTIER_MAX:
+        if cfg.corpus_filter and n_seeds * fanout > BROADCAST_FRONTIER_MAX:
             bank_bc = self._corpus_membership_bank()
         self._f0_flagged = bank_bc is not None
         df = (cleaned
@@ -416,8 +438,8 @@ class CrawlEngine:
         """Next round to run: 0 on a fresh dir, committed+1 after a crash/stop."""
         return self.io.committed_round() + 1
 
-    def run(self, seeds: list[str] | None = None, max_rounds: int = 64,
-            progress=None) -> list[RoundStats]:
+    def run(self, seeds: list[str] | DataFrame | None = None,
+            max_rounds: int = 64, progress=None) -> list[RoundStats]:
         import os as _os
         _timing = _os.environ.get("SPARK_GRAFT_TIMING") == "1"
 

@@ -209,3 +209,37 @@ def test_wildcard_parent_seeds_multipartition_dedup(spark, tmp_path,
             want[host] = (root, depth)
     assert {(r.host, r.root, r.depth) for r in got.itertuples()} \
         == {(h, rd[0], rd[1]) for h, rd in want.items()}
+
+
+def test_seed_file_path_is_distributed(spark, tmp_path):
+    """S1 scale path (round-7): seeds given as a spark.read.text DataFrame
+    must flow scan→expand entirely on executors — the round-0 frontier's
+    plan reads the text file directly (FileScan text), with no
+    driver-list / createDataFrame(pandas) hop (which would appear as a
+    LocalTableScan leaf), and matches the list-path output exactly."""
+    seeds = ["example.com", "www.example.com", "# comment",
+             "kawasaki.jp", "www.kawasaki.jp", "", "b.site.ck"]
+    seeds_file = tmp_path / "seeds.txt"
+    seeds_file.write_text("\n".join(seeds) + "\n")
+    corpus = spark.createDataFrame(
+        [("example.com", ["https"], 200, "hello")],
+        "host string, proto_ok array<string>, status_code int, caption string")
+    dns = spark.createDataFrame(
+        [("example.com", ["1.2.3.4"], 0)],
+        "host string, ips array<string>, rcode int")
+    cfg = CrawlConfig(honor_robots=False)
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "c1"), corpus, dns)
+    eng.start(spark.read.text(str(seeds_file)))
+    plan = eng._frontier0._jdf.queryExecution().toString()
+    assert "FileScan text" in plan
+    assert "LocalTableScan" not in plan and "ExistingRDD" not in plan
+
+    eng2 = CrawlEngine(spark, cfg, str(tmp_path / "c2"), corpus, dns)
+    eng2.start(seeds)
+    a = eng.io.read_round("frontier", 0).toPandas()
+    b = eng2.io.read_round("frontier", 0).toPandas()
+    key = ["host", "root", "depth"]
+    assert sorted(map(tuple, a[key].itertuples(index=False))) \
+        == sorted(map(tuple, b[key].itertuples(index=False)))
+    assert eng._n0 == eng2._n0
