@@ -61,7 +61,7 @@ HEADLINE = [
     "token_count", "quality_score", "lang_id", "ngram_jaccard",
     "cosine_topk", "ann_lsh_bucket", "img_pipeline", "payload_validate",
     "sessionize", "sample_split", "fingerprint64", "simhash64",
-    "minhash_lsh_pairs", "dedup_groups", "dedup_pipeline",
+    "minhash_lsh_pairs", "lsh_cap_stats", "dedup_groups", "dedup_pipeline",
 ]
 
 

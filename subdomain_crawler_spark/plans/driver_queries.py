@@ -1176,6 +1176,30 @@ FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
 
+def _band_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, bh) — one row per doc per LSH band, keyed by the band's
+    128-bit struct key. 128-bit: two independent-seed xxhash64s in a
+    struct. One 64-bit hash invites birthday collisions at the documented
+    scale (8×10^10 band keys → expected colliding buckets, each silently
+    merging unrelated dedup groups with no downstream similarity check);
+    128 bits puts the expected collision count back to ~0 while keeping a
+    16-byte JVM-native shuffle key (vs the old 32-byte md5 hex string
+    whose transform/array_join/md5 tree also cost ~2 s of first-run
+    whole-stage codegen)."""
+    sig = docs.select("doc_id", udfs.udf_minhash64("text").alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(7)),
+                        lambda b: F.slice("sig", b * 8 + 1, 8))
+        ).alias("band", "band_sig"))
+    return bands.select(
+        "doc_id",
+        F.struct(F.xxhash64("band", "band_sig").alias("h1"),
+                 F.xxhash64(F.lit(1), "band", "band_sig").alias("h2"))
+         .alias("bh"))
+
+
 def _lsh_band_pairs(docs: DataFrame,
                     bucket_cap: int | None = None) -> DataFrame:
     """MinHash-LSH candidate pairs over ``docs(doc_id, text)``: band the
@@ -1202,26 +1226,7 @@ def _lsh_band_pairs(docs: DataFrame,
     dedup grouping (and its closure-based oracle over uncapped pairs)
     is therefore exact at any scale; only the raw pair LISTING differs,
     which is why the standalone minhash_lsh_pairs query runs uncapped."""
-    sig = docs.select("doc_id", udfs.udf_minhash64("text").alias("sig"))
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), F.lit(7)),
-                        lambda b: F.slice("sig", b * 8 + 1, 8))
-        ).alias("band", "band_sig"))
-    # 128-bit band key: two independent-seed xxhash64s in a struct.  One
-    # 64-bit hash invites birthday collisions at the documented scale
-    # (8×10^10 band keys → expected colliding buckets, each silently
-    # merging unrelated dedup groups with no downstream similarity check);
-    # 128 bits puts the expected collision count back to ~0 while keeping
-    # a 16-byte JVM-native shuffle key (vs the old 32-byte md5 hex string
-    # whose transform/array_join/md5 tree also cost ~2 s of first-run
-    # whole-stage codegen).
-    bands = bands.select(
-        "doc_id",
-        F.struct(F.xxhash64("band", "band_sig").alias("h1"),
-                 F.xxhash64(F.lit(1), "band", "band_sig").alias("h2"))
-         .alias("bh"))
+    bands = _band_keys(docs)
     if bucket_cap is None:
         a = bands.select(F.col("doc_id").alias("a"), "bh")
         b = bands.select(F.col("doc_id").alias("b"), "bh")
@@ -1257,6 +1262,60 @@ def _lsh_band_pairs(docs: DataFrame,
     star = (bigr.filter(F.col("rn") > bucket_cap)
             .select(F.col("bmin").alias("a"), F.col("doc_id").alias("b")))
     return pairs_small.unionByName(clique_big).unionByName(star).distinct()
+
+
+def _lsh_cap_stats(docs: DataFrame, bucket_cap: int = 64) -> DataFrame:
+    """Cap telemetry for the star-expansion guard (round-7 VERDICT ask #4):
+    ONE row — how many band buckets exceeded ``bucket_cap``, how many star
+    edges replaced clique edges, and how many clique pairs the capped
+    LISTING therefore omits. Components are provably unaffected (see
+    _lsh_band_pairs); this makes the pair-listing delta a first-class
+    queryable metric, so a 100 TB operator sees capping without reading
+    logs. Pure aggregation over the same banding (groupBy bh → filter →
+    one-row agg) — no observation machinery, computed only when asked."""
+    cap_pairs = bucket_cap * (bucket_cap - 1) // 2
+    sizes = _band_keys(docs).groupBy("bh").agg(
+        F.count(F.lit(1)).alias("k"))
+    over = sizes.filter(F.col("k") > bucket_cap)
+    # per-bucket omitted pairs: C(k,2) − C(cap,2) − (k − cap); integer
+    # arithmetic throughout (k*(k-1) div 2 — no doubles at 10^8-member
+    # buckets)
+    stats = over.agg(
+        F.count(F.lit(1)).alias("capped_buckets"),
+        F.coalesce(F.sum(F.col("k") - bucket_cap), F.lit(0))
+         .alias("star_edges"),
+        F.coalesce(F.sum(F.expr("k * (k - 1) div 2")
+                         - F.lit(cap_pairs)
+                         - (F.col("k") - bucket_cap)), F.lit(0))
+         .alias("dropped_pairs"))
+    return stats.select(
+        F.lit(bucket_cap).cast("long").alias("bucket_cap"),
+        F.col("capped_buckets").cast("long").alias("capped_buckets"),
+        F.col("star_edges").cast("long").alias("star_edges"),
+        F.col("dropped_pairs").cast("long").alias("dropped_pairs"))
+
+
+def q_lsh_cap_stats(spark, sf_dir):
+    """Bucket-cap telemetry at the dedup pipeline's production setting
+    (bucket_cap=64) over the documents table."""
+    return _lsh_cap_stats(_docs_wide(spark, sf_dir), bucket_cap=64)
+
+
+def _sql_lsh_cap_stats(bucket_cap: int = 64) -> str:
+    cap_pairs = bucket_cap * (bucket_cap - 1) // 2
+    return ("WITH " + _sql_minhash_pair_ctes() + f""",
+sizes AS (
+  SELECT bh, count(*) AS k FROM bands GROUP BY bh
+), over_cap AS (
+  SELECT * FROM sizes WHERE k > {bucket_cap}
+)
+SELECT {bucket_cap}::BIGINT AS bucket_cap,
+       count(*)::BIGINT AS capped_buckets,
+       coalesce(sum(k - {bucket_cap}), 0)::BIGINT AS star_edges,
+       coalesce(sum(k*(k-1)//2 - {cap_pairs} - (k - {bucket_cap})),
+                0)::BIGINT AS dropped_pairs
+FROM over_cap
+""")
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -1441,6 +1500,7 @@ QUERIES = {
     "minhash_signature": q_minhash_signature,
     "simhash64": q_simhash64,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "lsh_cap_stats": q_lsh_cap_stats,
     "dedup_groups": q_dedup_groups,
     "dedup_pipeline": q_dedup_pipeline,
 }
@@ -1480,6 +1540,7 @@ def oracles() -> dict[str, str]:
         "minhash_signature": _sql_minhash(),
         "simhash64": _sql_simhash(),
         "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
+        "lsh_cap_stats": _sql_lsh_cap_stats(),
         "dedup_groups": _sql_dedup_groups(),
         "dedup_pipeline": _sql_dedup_pipeline(),
         # x2: closed-form oracle for the synthetic input family (general

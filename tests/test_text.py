@@ -135,3 +135,20 @@ def test_lsh_bucket_cap_bounds_pairs_and_preserves_groups(spark):
             for r in connected_components(
                 _lsh_band_pairs(docs)).collect()}
     assert got == want
+
+    # cap telemetry (round-7 VERDICT ask): the drop count is a first-class
+    # query, non-zero on this clone set and matching the closed form —
+    # all 8 bands bucket the n clones together (one differing token ≠ 8
+    # differing minima out of 64 perms is astronomically unlikely at this
+    # shingle overlap; deterministic seeds make it reproducible)
+    from subdomain_crawler_spark.plans.driver_queries import _lsh_cap_stats
+    st = _lsh_cap_stats(docs, bucket_cap=cap).collect()[0]
+    assert st["bucket_cap"] == cap
+    assert st["capped_buckets"] > 0 and st["dropped_pairs"] > 0
+    per_bucket_drop = (n * (n - 1) // 2 - cap * (cap - 1) // 2 - (n - cap))
+    assert st["dropped_pairs"] >= per_bucket_drop  # ≥ one full clone bucket
+    assert st["star_edges"] >= n - cap
+    # exact closed form when all 8 clone buckets are pure and nothing else
+    # overflows: 8 buckets of k=n
+    if st["capped_buckets"] == 8 and st["star_edges"] == 8 * (n - cap):
+        assert st["dropped_pairs"] == 8 * per_bucket_drop
