@@ -64,6 +64,45 @@ HEADLINE = [
     "minhash_lsh_pairs", "lsh_cap_stats", "dedup_groups", "dedup_pipeline",
 ]
 
+# Regression tripwire (round-7 review ask #6): recorded driver-window
+# timings (BENCH_r06.json, sf0.1 local[32]) form the envelope; a headline
+# entry only trips beyond ENVELOPE_NOISE_FACTOR × its recorded value
+# because this box's documented window noise is ±2-3× (BENCH/BASELINE.md
+# §0/§0b — the same code re-measured 17.7-21.2 s on a 22.0 s crawl leg in
+# different hour windows, and single-window numbers support no perf claim,
+# see the pairing protocol there). The guard therefore catches STRUCTURAL
+# regressions (a lost broadcast, a new shuffle, a cache that stopped
+# hitting), not weather. It is a LOUD TRIPWIRE, not a hard gate: the JSON
+# line carries a "regressions" list and stderr shouts, but the exit code
+# stays 0 so the driver still records the run. Queries added after the
+# envelope was recorded (e.g. lsh_cap_stats) are unchecked until the
+# envelope is refreshed from the next driver BENCH record.
+ENVELOPE = {
+    "tpch_q1": 0.61, "tpch_q3": 2.062, "x1_extract": 0.316,
+    "x4_expand": 0.549, "x5_root": 0.267, "w1_first_success": 0.762,
+    "w2_budget": 0.71, "d1_anti_join": 0.434, "a2_rates": 0.647,
+    "dedup_exact": 0.545, "token_count": 0.221, "quality_score": 0.252,
+    "lang_id": 0.341, "ngram_jaccard": 0.457, "cosine_topk": 0.687,
+    "ann_lsh_bucket": 0.984, "img_pipeline": 0.325, "payload_validate": 0.434,
+    "sessionize": 1.014, "sample_split": 0.272, "fingerprint64": 0.327,
+    "simhash64": 0.294, "minhash_lsh_pairs": 3.435, "dedup_groups": 4.625,
+    "dedup_pipeline": 5.665, "crawl": 16.97,
+}
+ENVELOPE_NOISE_FACTOR = 3.0
+
+
+def check_envelope(timings: dict[str, float],
+                   envelope: dict[str, float] = ENVELOPE,
+                   factor: float = ENVELOPE_NOISE_FACTOR) -> list[dict]:
+    """Return the headline entries exceeding their recorded envelope by
+    more than the documented window noise (each as {query, sec,
+    envelope_sec, factor}). Pure so tests can pin the logic without Spark."""
+    return [
+        {"query": k, "sec": v, "envelope_sec": envelope[k],
+         "factor": round(v / envelope[k], 2)}
+        for k, v in timings.items()
+        if k in envelope and v > envelope[k] * factor]
+
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -189,6 +228,14 @@ def main() -> None:
     spark.stop()
 
     total = round(sum(queries.values()) + crawl["wall_sec"], 3)
+    regressions = check_envelope({**queries, "crawl": crawl["wall_sec"]})
+    for r in regressions:
+        print(f"REGRESSION TRIPWIRE: {r['query']} took {r['sec']}s = "
+              f"{r['factor']}x its recorded envelope of "
+              f"{r['envelope_sec']}s (beyond the {ENVELOPE_NOISE_FACTOR}x "
+              f"documented window noise — likely structural; pair it per "
+              f"BENCH/BASELINE.md §0b before trusting either number)",
+              file=sys.stderr, flush=True)
     print(json.dumps({
         "metric": "headline suite + crawl wall time",
         "value": total,
@@ -197,6 +244,7 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "crawl": crawl,
+        "regressions": regressions,
     }))
 
 

@@ -61,3 +61,31 @@ def test_fnv64_throughput():
                        for i in range(50_000)])
     sec = _best_of(lambda: fnv64(hosts))
     assert sec < 1.5, f"fnv64: {sec:.2f}s for 50k hosts"
+
+
+def test_envelope_tripwire_logic():
+    """bench.py's regression tripwire: fires only beyond the documented
+    ±2-3× window-noise factor, never on unknown (newer-than-envelope)
+    queries, and reports the overshoot factor (round-7 review ask #6)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    env = {"q": 1.0, "crawl": 10.0}
+    # inside the noise window: silent
+    assert bench.check_envelope({"q": 2.9, "crawl": 10.0}, env, 3.0) == []
+    # beyond it: fires with the factor
+    hits = bench.check_envelope({"q": 3.5, "crawl": 10.0}, env, 3.0)
+    assert hits == [{"query": "q", "sec": 3.5, "envelope_sec": 1.0,
+                     "factor": 3.5}]
+    # unknown query (added after the envelope was recorded): unchecked
+    assert bench.check_envelope({"brand_new": 99.0}, env, 3.0) == []
+    # shipped envelope sanity: covers every headline query except ones
+    # newer than the last driver record, plus the crawl leg
+    missing = [q for q in bench.HEADLINE if q not in bench.ENVELOPE]
+    assert missing == ["lsh_cap_stats"]
+    assert "crawl" in bench.ENVELOPE
