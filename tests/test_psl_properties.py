@@ -58,3 +58,58 @@ def test_expansion_root_shortcut_property(labels, suf, prefix):
         host = root
         assert psl.etld_plus_one(host) == host
     assert psl.etld_plus_one(f"{prefix}.{host}") == host
+
+
+# raw seed-file lines: hosts plus the cleaning-path cases (blank lines,
+# comments, non-canonical case/whitespace) and duplicates via small lists
+LINE = st.one_of(
+    st.just(""), st.just("   "),
+    st.builds(lambda h: f"# {h}", HOST),
+    st.builds(lambda h: f"  {h.upper()}  ", HOST),
+    HOST)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(LINE, min_size=1, max_size=12),
+       st.integers(min_value=1, max_value=4),
+       st.lists(LABEL, max_size=2))
+def test_fused_expander_matches_reference_sim(lines, width, custom):
+    """Fused-kernel output over an ARBITRARY hash-partitioning by
+    core.expand_partition_key ≡ reference_sim.expand_seeds (S1+X4+D2) —
+    hypothesis over seed shape × custom prefixes × wildcard-parent cases
+    (round-7 stretch ask: the fusion was guarded by example parity only).
+    The partition split exercises the cross-partition dedup invariant the
+    round-7 ADVICE bug broke: duplicate hosts must not survive ACROSS
+    partitions, for ANY assignment that is a function of the key."""
+    import zlib
+
+    from subdomain_crawler_spark.config import CrawlConfig
+    from subdomain_crawler_spark.plans.crawl import _make_seed_expander
+    from subdomain_crawler_spark.plans.reference_sim import expand_seeds
+
+    prefixes = core.merged_prefixes(list(custom))
+    kernel = _make_seed_expander(prefixes, True)
+
+    # the engine's pre-kernel cleaning (CrawlEngine.start): trim, drop
+    # blanks and #-comments, lowercase
+    cleaned = [ln.strip().lower() for ln in lines
+               if ln.strip() and not ln.strip().startswith("#")]
+    parts: list[list[str]] = [[] for _ in range(width)]
+    for s in cleaned:
+        k = core.expand_partition_key_one(s)
+        parts[zlib.crc32(k.encode()) % width].append(s)
+    outs = [
+        pd.concat(
+            list(kernel(iter([pd.DataFrame(
+                {"seed": pd.Series(p, dtype=object)})]))),
+            ignore_index=True)
+        for p in parts if p]
+    got = (pd.concat(outs, ignore_index=True) if outs
+           else pd.DataFrame(columns=["host", "root", "depth"]))
+
+    want: dict[str, tuple[str, int]] = {}
+    for host, root, depth in expand_seeds(
+            lines, CrawlConfig(custom_prefixes=tuple(custom))):
+        want.setdefault(host, (root, depth))
+    assert len(got) == got["host"].nunique(), "cross-partition duplicate"
+    assert {r.host: (r.root, r.depth) for r in got.itertuples()} == want
