@@ -60,8 +60,9 @@ HEADLINE = [
     "w1_first_success", "w2_budget", "d1_anti_join", "a2_rates", "dedup_exact",
     "token_count", "quality_score", "lang_id", "ngram_jaccard",
     "cosine_topk", "ann_lsh_bucket", "img_pipeline", "payload_validate",
-    "sessionize", "sample_split", "fingerprint64", "simhash64",
-    "minhash_lsh_pairs", "lsh_cap_stats", "dedup_groups", "dedup_pipeline",
+    "sessionize", "sample_split", "repetition_score", "fingerprint64",
+    "simhash64", "minhash_lsh_pairs", "lsh_cap_stats", "dedup_groups",
+    "dedup_pipeline",
 ]
 
 # Regression tripwire (round-7 review ask #6): recorded driver-window

@@ -509,6 +509,59 @@ FROM h
 """
 
 
+def q_repetition_score(spark, sf_dir):
+    """Within-document repetition: duplicate word-3-gram fraction
+    (1 − distinct/total 3-grams), the Gopher-rule family's "fraction of
+    duplicate n-grams" quality filter (Rae et al. 2021 §A1.1) — a doc that
+    repeats its own phrasing is boilerplate/spam-like and gets filtered
+    before LLM training. 100 TB shape: pure per-row JVM higher-order
+    functions (split → transform over a 1..n−2 index sequence → slice /
+    concat_ws → array_distinct) — no UDF, no shuffle, whole-stage codegen
+    end to end; the filter composes with quality_score/lang_id in one
+    scan."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    n = F.size(toks)
+    # guard n < 3 BEFORE building the index sequence: sequence(1, n-2)
+    # with n-2 < 1 would generate a DESCENDING range (implicit step -1),
+    # not an empty one
+    grams = F.when(
+        n >= 3,
+        F.transform(F.sequence(F.lit(1), n - F.lit(2)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    frac = F.when(
+        total > 0,
+        F.round(F.lit(1.0)
+                - F.size(F.array_distinct(grams)).cast("double") / total, 4)
+    ).otherwise(F.lit(0.0))
+    return d.select("doc_id", frac.alias("dup_3gram_frac"))
+
+
+def _sql_repetition() -> str:
+    # DuckDB twin: 1-based list indexing, range(1, n-1) is end-exclusive →
+    # start indices 1..n-2, same rounding
+    return """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN len(grams) > 0
+       THEN round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 4)
+       ELSE 0.0 END AS dup_3gram_frac
+FROM g
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup scoring on adjacent doc pairs (the scalable
     all-pairs form is LSH-bucketed; this pins the pair-metric semantics)."""
@@ -1496,6 +1549,7 @@ QUERIES = {
     "img_pipeline": q_img_pipeline,
     "payload_validate": q_payload_validate,
     "sample_split": q_sample_split,
+    "repetition_score": q_repetition_score,
     "fingerprint64": q_fingerprint64,
     "minhash_signature": q_minhash_signature,
     "simhash64": q_simhash64,
@@ -1552,4 +1606,5 @@ def oracles() -> dict[str, str]:
         # whichever side the driver runs first
         "payload_validate": _sql_payload_validate(),
         "sample_split": _sql_sample_split(),
+        "repetition_score": _sql_repetition(),
     }

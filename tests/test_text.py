@@ -152,3 +152,26 @@ def test_lsh_bucket_cap_bounds_pairs_and_preserves_groups(spark):
     # overflows: 8 buckets of k=n
     if st["capped_buckets"] == 8 and st["star_edges"] == 8 * (n - cap):
         assert st["dropped_pairs"] == 8 * per_bucket_drop
+
+
+def test_repetition_score_known_values(spark, tmp_path):
+    """dup-3-gram fraction (Gopher-family repetition filter): known values
+    incl. the n<3 guard (a sequence(1, n-2) with n<3 would generate a
+    DESCENDING index range, not an empty one — pinned here)."""
+    import pandas as pd
+
+    from subdomain_crawler_spark.plans.driver_queries import (
+        q_repetition_score)
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c a b c a b c",     # 7 grams, 3 distinct -> 4/7
+                 "one two three four",    # 2 grams, distinct -> 0.0
+                 "x y",                   # n=2: guard path -> 0.0
+                 ""],                     # empty -> 0.0
+    })
+    spark.createDataFrame(docs).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r["dup_3gram_frac"]
+           for r in q_repetition_score(spark, str(tmp_path)).collect()}
+    assert got == {1: round(1 - 3 / 7, 4), 2: 0.0, 3: 0.0, 4: 0.0}
