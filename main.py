@@ -76,6 +76,23 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="truncate fetched bodies at this many chars before "
                         "extraction; content_length is clamped "
                         "[ref: MaxResponseSize 10 MiB, fetcher.go:84]")
+    p.add_argument("--user-agent", default="SubdomainCrawler/2.0",
+                   help="HTTP User-Agent header written into every "
+                        "http.jsonl request transcript "
+                        "[ref: cli/config.go:30]")
+    p.add_argument("--http-timeout", type=int, default=10,
+                   help="HTTP request timeout in seconds — validated and "
+                        "recorded for CLI parity; the offline corpus join "
+                        "cannot time out [ref: cli/config.go:28]")
+    p.add_argument("--dns-timeout", type=int, default=5,
+                   help="DNS query timeout in seconds — validated and "
+                        "recorded for CLI parity (same offline note) "
+                        "[ref: cli/config.go:37]")
+    p.add_argument("--queue-size", type=int, default=10_000,
+                   help="reference task-queue size — validated and "
+                        "recorded for CLI parity; Spark's scheduler "
+                        "replaces the bounded queue (G1 divergence, "
+                        "COVERAGE.md 2.6) [ref: cli/config.go:23]")
     p.add_argument("--bloom-size", type=int, default=1_000_000,
                    help="seen-filter capacity [ref default 1e6]")
     p.add_argument("--bloom-fp", type=float, default=0.01,
@@ -127,8 +144,30 @@ def build_spark(workers: int):
     return b.getOrCreate(), True
 
 
+def validate_args(args) -> None:
+    """Reference Config.Validate() parity (cli/config.go:96-128): reject
+    non-positive workers/timeouts/queue/response cap and out-of-range
+    bloom FP with the same error sentences."""
+    checks = [
+        (args.workers <= 0, f"number of workers must be > 0, got {args.workers}"),
+        (args.max_depth < 0, f"max depth must be >= 0, got {args.max_depth}"),
+        (args.queue_size <= 0, f"queue size must be > 0, got {args.queue_size}"),
+        (args.http_timeout <= 0, f"HTTP timeout must be > 0, got {args.http_timeout}s"),
+        (args.dns_timeout <= 0, f"DNS timeout must be > 0, got {args.dns_timeout}s"),
+        (args.max_response_size <= 0,
+         f"max response size must be > 0, got {args.max_response_size}"),
+        (not 0 < args.bloom_fp < 1,
+         "bloom filter false positive rate must be between 0 and 1, "
+         f"got {args.bloom_fp}"),
+    ]
+    for bad, msg in checks:
+        if bad:
+            raise SystemExit(f"error: {msg}")
+
+
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
+    validate_args(args)
     from subdomain_crawler_spark.config import CrawlConfig
     from subdomain_crawler_spark.plans.crawl import CrawlEngine
     from subdomain_crawler_spark.sources import jsonl
@@ -145,6 +184,10 @@ def main(argv: list[str] | None = None) -> int:
         bloom_capacity=args.bloom_size,
         bloom_fp=args.bloom_fp,
         max_response_size=args.max_response_size,
+        user_agent=args.user_agent,
+        http_timeout=args.http_timeout,
+        dns_timeout=args.dns_timeout,
+        queue_size=args.queue_size,
     )
     engine = CrawlEngine(spark, cfg, args.workdir, corpus, dns, robots=robots)
 
@@ -185,7 +228,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.http_log:
             hl = engine.io.read_upto("http_log", last)
             if hl is not None:
-                jsonl.export_http_jsonl(hl, args.http_log, corpus=corpus)
+                jsonl.export_http_jsonl(hl, args.http_log, corpus=corpus,
+                                        user_agent=cfg.user_agent)
         if args.dns_log:
             dl = engine.io.read_upto("dns_log", last)
             if dl is not None:

@@ -27,6 +27,19 @@ class CrawlConfig:
     # documented divergence for multi-byte text).
     max_response_size: int = 10 * 1024 * 1024
 
+    # HTTP client identity + live-network knobs (cli/config.go:28-38).
+    # user_agent IS observable offline: it is the request header every
+    # http.jsonl transcript line carries (entity/log.go:10; jsonl.py).
+    # The two timeouts and the queue size have no offline analog — the
+    # corpus join cannot time out and Spark's scheduler replaces the
+    # bounded Go task queue (G1, COVERAGE.md §2.6) — so they are accepted
+    # and validated for CLI parity (reference Validate(), config.go:96+)
+    # and recorded here, with no behavioral effect on the corpus model.
+    user_agent: str = "SubdomainCrawler/2.0"
+    http_timeout: int = 10
+    dns_timeout: int = 5
+    queue_size: int = 10_000
+
     # seen-set accelerator (D1b): shard count for the broadcast bloom bank;
     # each shard sized so capacity_per_shard * shards covers the frontier
     bloom_shards: int = 8

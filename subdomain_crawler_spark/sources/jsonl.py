@@ -77,7 +77,8 @@ def _write_single(df, path: str, keep_nulls: bool = False) -> None:
 
 
 def export_http_jsonl(http_log: DataFrame, path: str,
-                      corpus: DataFrame | None = None) -> None:
+                      corpus: DataFrame | None = None,
+                      user_agent: str = _UA) -> None:
     """S3 — full ``HTTPMessage`` transcript (entity/log.go:4-27): one JSONL
     line per attempt, ``{"request": {...}, "response": null|{...}}`` with
     the reference's field order, UA header map, and explicit null response
@@ -104,7 +105,7 @@ def export_http_jsonl(http_log: DataFrame, path: str,
         F.lit("GET").alias("method"),
         F.col("url").alias("url"),
         F.lit("HTTP/1.1").alias("proto"),
-        F.create_map(F.lit("User-Agent"), F.lit(_UA)).alias("header"),
+        F.create_map(F.lit("User-Agent"), F.lit(user_agent)).alias("header"),
         F.lit("").alias("body"),
         F.lit(0).cast("long").alias("content_length"),
     )

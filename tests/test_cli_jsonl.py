@@ -311,3 +311,49 @@ def test_dashboard_ticker_animates_and_is_tty_gated():
     assert dash2._ticker is None
     _time.sleep(0.1)
     assert buf.getvalue() == ""
+
+
+def test_user_agent_flag_reaches_transcript(spark, fixture_web, tmp_path):
+    """--user-agent (cli/config.go:30) is OBSERVABLE offline: it is the
+    request header every http.jsonl line carries. Run the CLI with a
+    custom UA and assert every transcript request uses it."""
+    import main as cli
+
+    base = fixture_web["base"]
+    seeds_file = tmp_path / "seeds.txt"
+    seeds_file.write_text("\n".join(fixture_web["seeds"]) + "\n")
+    rc = cli.main([
+        "--seeds", str(seeds_file),
+        "--corpus", f"{base}/corpus.parquet",
+        "--dns", f"{base}/dns.parquet",
+        "--workdir", str(tmp_path / "work"),
+        "--http-log", str(tmp_path / "http.jsonl"),
+        "--user-agent", "CustomAgent/9.9",
+        "--export-epoch", "1700000000",
+    ])
+    assert rc == 0
+    lines = [json.loads(ln) for ln in
+             (tmp_path / "http.jsonl").read_text().splitlines()]
+    assert lines, "empty transcript"
+    assert all(ln["request"]["header"]["User-Agent"] == "CustomAgent/9.9"
+               for ln in lines)
+
+
+@pytest.mark.parametrize("flags,msg", [
+    (["--queue-size", "0"], "queue size"),
+    (["--http-timeout", "0"], "HTTP timeout"),
+    (["--dns-timeout", "-1"], "DNS timeout"),
+    (["--workers", "0"], "workers"),
+    (["--bloom-fp", "1.5"], "false positive"),
+    (["--max-response-size", "0"], "response size"),
+])
+def test_flag_validation_parity(flags, msg, tmp_path):
+    """Config.Validate() parity (cli/config.go:96-128): non-positive
+    knobs are rejected before any Spark work starts."""
+    import main as cli
+
+    argv = ["--seeds", "-", "--corpus", "x", "--dns", "y",
+            "--workdir", str(tmp_path)] + flags
+    with pytest.raises(SystemExit) as e:
+        cli.main(argv)
+    assert msg in str(e.value)
