@@ -59,7 +59,8 @@ HEADLINE = [
     "tpch_q1", "tpch_q3", "x1_extract", "x4_expand", "x5_root",
     "w1_first_success", "w2_budget", "d1_anti_join", "a2_rates", "dedup_exact",
     "token_count", "quality_score", "lang_id", "ngram_jaccard",
-    "cosine_topk", "ann_lsh_bucket", "img_pipeline", "payload_validate",
+    "cosine_topk", "ann_lsh_bucket", "ann_ivf", "img_pipeline",
+    "payload_validate",
     "sessionize", "sample_split", "repetition_score", "fingerprint64",
     "simhash64", "minhash_lsh_pairs", "lsh_cap_stats", "dedup_groups",
     "dedup_pipeline",

@@ -729,6 +729,110 @@ ORDER BY cos_sim DESC, vec_id LIMIT 5
 """
 
 
+# --- IVF over embeddings: the coarse-quantizer ANN scale path ----------------
+# The brief names two scale paths for similarity search — LSH-bucketed
+# (q_ann_lsh_bucket above) and IVF. IVF partitions the corpus into k cells
+# by nearest centroid and searches only the nprobe cells nearest the query:
+# work per query is (k centroid distances) + (nprobe/k of the corpus),
+# independent of how the data is embedded (LSH needs sign structure; IVF
+# works on any metric). Centroids here are DETERMINISTIC — the embeddings
+# of vec_id 1..k — because a k-means fit is not SQL-expressible and the
+# oracle must replicate cell assignment bit-for-bit; recall quality is the
+# quantizer's problem, the OPERATOR under test is the partitioned search.
+# All cosines are rounded to 4 decimals BEFORE argmax/rank on both engines
+# (ties → smallest centroid id), so assignment parity survives float
+# summation-order differences.
+
+_IVF_K = 16        # centroid count (vec_id 1.._IVF_K)
+_IVF_NPROBE = 4    # cells searched per query
+_IVF_TOPK = 10
+
+
+def _cos4(vec_col, other):
+    """round(cosine(vec_col, other), 4) — the exact expression family the
+    hash-green cosine_topk oracle pins (zip_with/aggregate, double acc)."""
+    dot = F.aggregate(F.zip_with(vec_col, other, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(vec_col, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(other, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return F.round(dot / (na * nb), 4)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """ANN scale path #2 — IVF: assign every vector to its nearest of
+    k=16 deterministic centroids (inline argmax over literal centroid
+    arrays — a pure PROJECTION, no join/shuffle; the 16-row centroid
+    collect is the bounded broadcast-dim pattern), probe the nprobe=4
+    cells nearest the query, exact cosine top-10 within them. At 10^10
+    rows the same shape holds with the inline chain swapped for an
+    Arrow-batched argmax over a broadcast centroid matrix (k ~ 4096
+    outgrows codegen'd expressions, not the architecture); the cell
+    column then also PARTITIONS the stored table, so a probe prunes
+    partitions instead of filtering rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = (e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _IVF_K))
+             .select("vec_id", "embedding").orderBy("vec_id").collect())
+    # ONE literal array-of-arrays + ONE transform — k separate cosine
+    # expressions (greatest + a k-branch case tree) were measured at
+    # seconds of py4j tree construction + janino codegen on the driver;
+    # this form is a constant-size plan at ANY k. argmax via
+    # array_position(scores, array_max(scores)): first occurrence wins =
+    # smallest centroid position = smallest cid (cids are position-mapped
+    # through cid_lit, no contiguity assumption).
+    cents_lit = F.lit([list(map(float, r["embedding"])) for r in cents]) \
+                 .cast("array<array<float>>")
+    cid_lit = F.lit([int(r["vec_id"]) for r in cents]).cast("array<long>")
+    scores = F.transform(cents_lit, lambda c: _cos4(F.col("embedding"), c))
+    cell = F.element_at(
+        cid_lit, F.array_position(scores, F.array_max(scores)).cast("int"))
+    scored = (e.filter(F.col("vec_id") != 0)
+              .select("vec_id", "embedding", cell.alias("cell")))
+
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    probe = (q.select(F.posexplode(
+                 F.transform(cents_lit, lambda c: _cos4(F.col("qv"), c)))
+                 .alias("pos", "qcos"))
+             .select(F.element_at(cid_lit, F.col("pos").cast("int") + 1)
+                      .alias("cell"), "qcos")
+             .orderBy(F.desc("qcos"), "cell").limit(_IVF_NPROBE)
+             .select("cell"))
+
+    cand = (scored.join(F.broadcast(probe), "cell")
+            .crossJoin(F.broadcast(q)))
+    return (cand.select("vec_id", "cell",
+                        _cos4("embedding", F.col("qv")).alias("cos_sim"))
+                .orderBy(F.desc("cos_sim"), "vec_id").limit(_IVF_TOPK))
+
+
+def _sql_ann_ivf() -> str:
+    cos = (lambda a, b:
+           f"round(list_inner_product({a}, {b}) / "
+           f"(sqrt(list_inner_product({a}, {a})) * "
+           f"sqrt(list_inner_product({b}, {b}))), 4)")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {_IVF_K}),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos('e.embedding', 'c.cv')} DESC, c.cid)
+           AS rn
+  FROM embeddings e, c WHERE e.vec_id <> 0
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+probe AS (
+  SELECT cid AS cell FROM c, q
+  ORDER BY {cos('c.cv', 'q.qv')} DESC, cid LIMIT {_IVF_NPROBE}
+)
+SELECT cells.vec_id, cells.cell, {cos('cells.embedding', 'q.qv')} AS cos_sim
+FROM cells JOIN probe USING (cell), q
+ORDER BY cos_sim DESC, vec_id LIMIT {_IVF_TOPK}
+"""
+
+
 def q_a3_recent(spark, sf_dir):
     """A3 — recent-discoveries ring: last 50 events by time
     (presenter/dashboard.go:306-315; trivially relational here)."""
@@ -1540,6 +1644,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
+    "ann_ivf": q_ann_ivf,
     "a3_recent": q_a3_recent,
     "a2_rates": q_a2_rates,
     "props_json": q_props_json,
@@ -1585,6 +1690,7 @@ def oracles() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "cosine_topk": SQL_COSINE_TOPK,
         "ann_lsh_bucket": _sql_ann_lsh(),
+        "ann_ivf": _sql_ann_ivf(),
         "a3_recent": SQL_A3,
         "a2_rates": SQL_A2,
         "props_json": SQL_PROPS_JSON,

@@ -87,5 +87,5 @@ def test_envelope_tripwire_logic():
     # shipped envelope sanity: covers every headline query except ones
     # newer than the last driver record, plus the crawl leg
     missing = [q for q in bench.HEADLINE if q not in bench.ENVELOPE]
-    assert set(missing) == {"lsh_cap_stats", "repetition_score"}
+    assert set(missing) == {"lsh_cap_stats", "repetition_score", "ann_ivf"}
     assert "crawl" in bench.ENVELOPE

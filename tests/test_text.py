@@ -175,3 +175,39 @@ def test_repetition_score_known_values(spark, tmp_path):
     got = {r["doc_id"]: r["dup_3gram_frac"]
            for r in q_repetition_score(spark, str(tmp_path)).collect()}
     assert got == {1: round(1 - 3 / 7, 4), 2: 0.0, 3: 0.0, 4: 0.0}
+
+
+def test_ann_ivf_invariants(spark):
+    """IVF ANN (q_ann_ivf): results must be exactly the brute-force top-k
+    RESTRICTED to the nprobe probed cells (the IVF contract — the probe
+    bounds recall, the within-cell search is exact), with ≤ nprobe
+    distinct cells in the output and every cos from the probed subset
+    dominating the excluded-cell candidates it beat."""
+    import numpy as np
+    import pytest
+
+    from subdomain_crawler_spark.plans import driver_queries as dq
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = dq.q_ann_ivf(spark, sf_dir).collect()
+    assert len(got) == dq._IVF_TOPK
+    cells = {r["cell"] for r in got}
+    assert len(cells) <= dq._IVF_NPROBE
+
+    # numpy twin: same centroids, same round-4 argmax/probe/tie rules
+    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float32)
+           for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                          .collect()}
+    qv = emb[0]
+    cents = {i: emb[i] for i in range(1, dq._IVF_K + 1)}
+    cos4 = lambda a, b: round(
+        float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 4)
+    assign = {v: min(cents, key=lambda c: (-cos4(e, cents[c]), c))
+              for v, e in emb.items() if v != 0}
+    probe = sorted(cents, key=lambda c: (-cos4(cents[c], qv), c))[
+        :dq._IVF_NPROBE]
+    want = sorted(((v, assign[v], cos4(emb[v], qv))
+                   for v in assign if assign[v] in probe),
+                  key=lambda t: (-t[2], t[0]))[:dq._IVF_TOPK]
+    assert [(r["vec_id"], r["cell"], r["cos_sim"]) for r in got] == [
+        (v, c, pytest.approx(s, abs=2e-4)) for v, c, s in want]
