@@ -19,6 +19,7 @@ a rows-only check for them (documented in each docstring).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -740,12 +741,26 @@ ORDER BY cos_sim DESC, vec_id LIMIT 5
 # oracle must replicate cell assignment bit-for-bit; recall quality is the
 # quantizer's problem, the OPERATOR under test is the partitioned search.
 # All cosines are rounded to 4 decimals BEFORE argmax/rank on both engines
-# (ties → smallest centroid id), so assignment parity survives float
-# summation-order differences.
+# (ties → smallest centroid id). Rounding makes ties deterministic and
+# near-boundary flips rare — it is not a hard cross-engine guarantee (Spark
+# accumulates f32 products in double; DuckDB's list_inner_product runs at
+# the list's FLOAT precision, so a ~1e-6 discrepancy straddling a 4th-
+# decimal boundary could still flip an argmax). Green at every tested SF;
+# WITHIN Spark the two cell-assignment paths below are bit-equal by
+# construction (the Arrow kernel emulates the literal path's arithmetic
+# exactly — see _ivf_scores_np).
 
 _IVF_K = 16        # centroid count (vec_id 1.._IVF_K)
 _IVF_NPROBE = 4    # cells searched per query
 _IVF_TOPK = 10
+# Above this k, q_ann_ivf switches cell assignment to the Arrow argmax
+# kernel. The literal transform's PLAN is constant-size at any k, but its
+# EVALUATION is interpreted higher-order-function lambdas (zip_with /
+# aggregate are not codegen'd — every element is boxed), i.e. k·d boxed
+# JVM ops per row; the Arrow kernel does the same flops as vectorized
+# numpy over the batch. At k=16 the literal form stays the default (it
+# avoids the Python worker round-trip and is what the DuckDB oracle pins).
+_IVF_LITERAL_MAX_K = 32
 
 
 def _cos4(vec_col, other):
@@ -760,47 +775,175 @@ def _cos4(vec_col, other):
     return F.round(dot / (na * nb), 4)
 
 
-def q_ann_ivf(spark, sf_dir):
-    """ANN scale path #2 — IVF: assign every vector to its nearest of
-    k=16 deterministic centroids (inline argmax over literal centroid
-    arrays — a pure PROJECTION, no join/shuffle; the 16-row centroid
-    collect is the bounded broadcast-dim pattern), probe the nprobe=4
-    cells nearest the query, exact cosine top-10 within them. At 10^10
-    rows the same shape holds with the inline chain swapped for an
-    Arrow-batched argmax over a broadcast centroid matrix (k ~ 4096
-    outgrows codegen'd expressions, not the architecture); the cell
-    column then also PARTITIONS the stored table, so a probe prunes
-    partitions instead of filtering rows."""
-    e = _t(spark, sf_dir, "embeddings")
-    cents = (e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _IVF_K))
-             .select("vec_id", "embedding").orderBy("vec_id").collect())
-    # ONE literal array-of-arrays + ONE transform — k separate cosine
-    # expressions (greatest + a k-branch case tree) were measured at
-    # seconds of py4j tree construction + janino codegen on the driver;
-    # this form is a constant-size plan at ANY k. argmax via
-    # array_position(scores, array_max(scores)): first occurrence wins =
-    # smallest centroid position = smallest cid (cids are position-mapped
-    # through cid_lit, no contiguity assumption).
-    cents_lit = F.lit([list(map(float, r["embedding"])) for r in cents]) \
-                 .cast("array<array<float>>")
-    cid_lit = F.lit([int(r["vec_id"]) for r in cents]).cast("array<long>")
-    scores = F.transform(cents_lit, lambda c: _cos4(F.col("embedding"), c))
+def _ivf_round4_half_up(a):
+    """Vectorized twin of Spark's ``round(double, 4)`` (RoundBase →
+    ``BigDecimal.valueOf(d).setScale(4, HALF_UP)``, i.e. HALF_UP on the
+    double's SHORTEST decimal repr). The fast path is the scale-floor
+    trick; values whose scaled fraction sits within 1e-6 of the .5
+    boundary (where ``d * 1e4`` itself may misrepresent the shortest
+    repr) are fixed up through ``decimal.Decimal(repr(d))`` — exactly
+    BigDecimal.valueOf's semantics. The fixup set is empty on real dot
+    products, so the kernel stays C-speed."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.float64)
+    scaled = a * 1e4
+    out = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / 1e4
+    near = np.nonzero(np.abs(np.abs(scaled) % 1.0 - 0.5) < 1e-6)
+    if near[0].size:
+        import decimal
+        q = decimal.Decimal("0.0001")
+        for idx in zip(*near):
+            out[idx] = float(decimal.Decimal(repr(float(a[idx])))
+                             .quantize(q, rounding=decimal.ROUND_HALF_UP))
+    return out
+
+
+def _ivf_scores_np(M, C):
+    """round-4 cosine matrix (n × k, float64) between row vectors ``M``
+    (n × d float32) and centroids ``C`` (k × d float32), numerically
+    BIT-EQUAL to the literal-expression path's `_cos4`:
+
+    * products at FLOAT precision (Spark's ``zip_with(x, y -> x * y)``
+      on array<float> multiplies in f32),
+    * then a SEQUENTIAL left fold into a double accumulator (Spark's
+      ``aggregate(…, 0.0D, acc + x)``) — NOT ``np.sum`` / BLAS matmul,
+      whose pairwise / blocked reductions change the addition order,
+    * sqrt / divide / round in f64 (IEEE-identical on both sides).
+
+    The fold is expressed as d per-dimension f32 OUTER products
+    accumulated into an f64 (n × k) matrix — each ``M[:,j] ⊗ C[:,j]`` is
+    exactly the j-th zip_with product for every (row, centroid) pair, and
+    the ``+=`` sequence is exactly the left fold; nothing materializes the
+    n × k × d tensor, so memory peaks at 1.5 copies of the (n × k) plane
+    (an Arrow batch of 2048 rows at k=4096 → ~100 MB). A BLAS ``M @ C.T``
+    would be faster still but loses the bit-parity contract the k=16
+    oracle path pins; this form stays C-speed numpy
+    (see tests/test_kernel_bench.py::test_ivf_argmax_throughput)."""
+    import numpy as np
+
+    M = np.asarray(M, dtype=np.float32)
+    C = np.asarray(C, dtype=np.float32)
+    n, d = M.shape
+    k = C.shape[0]
+
+    def _fold_sq(X):  # sequential f64 fold of f32 squares, per row
+        sq = X * X  # f32
+        acc = np.zeros(X.shape[0], dtype=np.float64)
+        for j in range(X.shape[1]):
+            acc += sq[:, j]
+        return acc
+
+    na = np.sqrt(_fold_sq(M))  # (n,)
+    nb = np.sqrt(_fold_sq(C))  # (k,)
+    # cache-blocked over centroids so the f64 accumulator slab stays
+    # L2/L3-resident across the d-fold (measured 2.7× over the unblocked
+    # form at k=4096); blocking is bit-neutral — each (row, centroid)
+    # accumulator is independent, only the j-order matters.
+    kc = 128
+    cos = np.empty((n, k), dtype=np.float64)
+    for c0 in range(0, k, kc):
+        Cc = C[c0:c0 + kc]
+        acc = np.zeros((n, Cc.shape[0]), dtype=np.float64)
+        for j in range(d):
+            acc += M[:, j, None] * Cc[None, :, j]  # f32 outer product
+        cos[:, c0:c0 + Cc.shape[0]] = acc
+    cos /= na[:, None] * nb[None, :]
+    return _ivf_round4_half_up(cos)
+
+
+def _ivf_cells_arrow(vectors, cents, cids, vec_col: str = "embedding"):
+    """Arrow-batched cell assignment — the large-k production path: one
+    pandas UDF over a broadcast (closure-captured) centroid matrix, argmax
+    with first-max-wins (= smallest centroid position = the literal path's
+    ``array_position(scores, array_max(scores))`` tie rule). Constant-size
+    plan at any k; per-batch work is one vectorized score matrix + argmax."""
+    import numpy as np
+
+    C = np.asarray([list(map(float, c)) for c in cents], dtype=np.float32)
+    cid_arr = np.asarray([int(c) for c in cids], dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _cell_of(emb: pd.Series) -> pd.Series:
+        import numpy as _np
+        M = _np.asarray(emb.tolist(), dtype=_np.float32)
+        scores = _ivf_scores_np(M, C)
+        return pd.Series(cid_arr[_np.argmax(scores, axis=1)])
+
+    return vectors.withColumn("cell", _cell_of(F.col(vec_col)))
+
+
+def _ivf_cells_literal(vectors, cents_lit, cid_lit,
+                       vec_col: str = "embedding"):
+    """Small-k cell assignment: inline argmax over literal centroid arrays
+    — a pure PROJECTION, no join/shuffle. ONE literal array-of-arrays +
+    ONE transform (k separate cosine expressions — greatest + a k-branch
+    case tree — were measured at seconds of py4j tree construction +
+    janino codegen on the driver). argmax via
+    ``array_position(scores, array_max(scores))``: first occurrence wins =
+    smallest centroid position = smallest cid (cids are position-mapped
+    through cid_lit, no contiguity assumption)."""
+    scores = F.transform(cents_lit, lambda c: _cos4(F.col(vec_col), c))
     cell = F.element_at(
         cid_lit, F.array_position(scores, F.array_max(scores)).cast("int"))
-    scored = (e.filter(F.col("vec_id") != 0)
-              .select("vec_id", "embedding", cell.alias("cell")))
+    return vectors.withColumn("cell", cell)
 
+
+def q_ann_ivf(spark, sf_dir, k: int = _IVF_K, nprobe: int = _IVF_NPROBE,
+              use_arrow: bool | None = None):
+    """ANN scale path #2 — IVF: assign every vector to its nearest of k
+    deterministic centroids, probe the nprobe cells nearest the query,
+    exact cosine top-10 within them. The k-row centroid collect is the
+    bounded broadcast-dim pattern (k ≤ thousands even at 10^10 rows).
+
+    Cell assignment is k-THRESHOLDED: up to ``_IVF_LITERAL_MAX_K`` it is
+    an inline codegen'd expression chain (`_ivf_cells_literal` — the
+    oracle-pinned default at k=16); beyond that the plan switches to the
+    Arrow-batched argmax over a broadcast centroid matrix
+    (`_ivf_cells_arrow`), whose arithmetic emulates the literal path
+    exactly (`_ivf_scores_np`) so the two assignments are BIT-EQUAL —
+    pinned by tests/test_plans.py::test_ann_ivf_arrow_parity. At 10^10
+    rows the cell column also PARTITIONS the stored table, so the probe's
+    ``cell IN (...)`` filter prunes partitions instead of filtering rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    if use_arrow is None:
+        use_arrow = k > _IVF_LITERAL_MAX_K
+    cents = (e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= k))
+             .select("vec_id", "embedding").orderBy("vec_id").collect())
+    cmat = [list(map(float, r["embedding"])) for r in cents]
+    cids = [int(r["vec_id"]) for r in cents]
+    vectors = e.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    probe = (q.select(F.posexplode(
-                 F.transform(cents_lit, lambda c: _cos4(F.col("qv"), c)))
-                 .alias("pos", "qcos"))
-             .select(F.element_at(cid_lit, F.col("pos").cast("int") + 1)
-                      .alias("cell"), "qcos")
-             .orderBy(F.desc("qcos"), "cell").limit(_IVF_NPROBE)
-             .select("cell"))
 
-    cand = (scored.join(F.broadcast(probe), "cell")
-            .crossJoin(F.broadcast(q)))
+    if use_arrow:
+        scored = _ivf_cells_arrow(vectors, cmat, cids)
+        # probe selection driver-side with the SAME emulated kernel over
+        # the one collected query vector — bounded (1 × k scores) and
+        # bit-consistent with the assignment; the resulting IN-list is a
+        # partition-prunable predicate on a cell-partitioned store.
+        import numpy as np
+        qv = (e.filter(F.col("vec_id") == 0)
+              .select("embedding").collect()[0]["embedding"])
+        qs = _ivf_scores_np(np.asarray([list(map(float, qv))],
+                                       dtype=np.float32),
+                            np.asarray(cmat, dtype=np.float32))[0]
+        order = sorted(range(len(cids)), key=lambda i: (-qs[i], cids[i]))
+        probe_cells = [cids[i] for i in order[:nprobe]]
+        cand = (scored.filter(F.col("cell").isin(probe_cells))
+                .crossJoin(F.broadcast(q)))
+    else:
+        cents_lit = F.lit(cmat).cast("array<array<float>>")
+        cid_lit = F.lit(cids).cast("array<long>")
+        scored = _ivf_cells_literal(vectors, cents_lit, cid_lit)
+        probe = (q.select(F.posexplode(
+                     F.transform(cents_lit, lambda c: _cos4(F.col("qv"), c)))
+                     .alias("pos", "qcos"))
+                 .select(F.element_at(cid_lit, F.col("pos").cast("int") + 1)
+                          .alias("cell"), "qcos")
+                 .orderBy(F.desc("qcos"), "cell").limit(nprobe)
+                 .select("cell"))
+        cand = (scored.join(F.broadcast(probe), "cell")
+                .crossJoin(F.broadcast(q)))
     return (cand.select("vec_id", "cell",
                         _cos4("embedding", F.col("qv")).alias("cos_sim"))
                 .orderBy(F.desc("cos_sim"), "vec_id").limit(_IVF_TOPK))

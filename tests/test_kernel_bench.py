@@ -89,3 +89,19 @@ def test_envelope_tripwire_logic():
     missing = [q for q in bench.HEADLINE if q not in bench.ENVELOPE]
     assert set(missing) == {"lsh_cap_stats", "repetition_score", "ann_ivf"}
     assert "crawl" in bench.ENVELOPE
+
+
+def test_ivf_argmax_throughput():
+    """The IVF large-k Arrow kernel (an Arrow batch of 2048 rows against a
+    k=4096 centroid matrix at d=64) must stay vectorized-numpy speed —
+    measured ~1.0 s steady-state on this box with the cache-blocked exact
+    fold (bit-parity with the literal path costs ~d× over a BLAS matmul;
+    that trade is the kernel's documented contract). The floor fails
+    loudly if a per-element Python loop sneaks back in (~100× over)."""
+    from subdomain_crawler_spark.plans.driver_queries import _ivf_scores_np
+
+    rng = np.random.RandomState(7)
+    M = rng.randn(2048, 64).astype(np.float32)
+    C = rng.randn(4096, 64).astype(np.float32)
+    sec = _best_of(lambda: np.argmax(_ivf_scores_np(M, C), axis=1), n=2)
+    assert sec < 5.0, f"ivf argmax kernel: {sec:.2f}s for 2048x4096x64"

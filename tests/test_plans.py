@@ -277,3 +277,47 @@ def test_round_table_codec_default_zstd(spark, tmp_path, monkeypatch):
     assert glob.glob(io.round_dir("t", 2) + "/*.snappy.parquet")
     # round-trip: the engine reads its own rounds regardless of codec
     assert io.read_upto("t", 2).count() == 30
+
+
+def test_ann_ivf_arrow_parity(spark):
+    """The large-k Arrow argmax kernel is BIT-EQUAL to the oracle-pinned
+    literal-expression path (the q_ann_ivf docstring's contract): same
+    cell for every vector and the same final top-k, at the default k=16
+    and at a k above the literal/Arrow threshold, on the sf0.1 embeddings
+    — the kernel emulates the literal path's arithmetic exactly
+    (f32 products, sequential f64 fold, HALF_UP round; _ivf_scores_np)."""
+    sf = "/root/testdata/sf0.1"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    for k in (16, dq._IVF_LITERAL_MAX_K + 8):
+        cents = (e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= k))
+                 .select("vec_id", "embedding").orderBy("vec_id").collect())
+        cmat = [list(map(float, r["embedding"])) for r in cents]
+        cids = [int(r["vec_id"]) for r in cents]
+        vectors = e.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+
+        lit = dq._ivf_cells_literal(
+            vectors, F.lit(cmat).cast("array<array<float>>"),
+            F.lit(cids).cast("array<long>"))
+        arw = dq._ivf_cells_arrow(vectors, cmat, cids)
+        cells_lit = {r["vec_id"]: r["cell"]
+                     for r in lit.select("vec_id", "cell").collect()}
+        cells_arw = {r["vec_id"]: r["cell"]
+                     for r in arw.select("vec_id", "cell").collect()}
+        assert cells_lit == cells_arw, f"cell assignment diverged at k={k}"
+
+        # end-to-end: the full query returns identical rows on both paths
+        rows_lit = [tuple(r) for r in
+                    dq.q_ann_ivf(spark, sf, k=k, use_arrow=False).collect()]
+        rows_arw = [tuple(r) for r in
+                    dq.q_ann_ivf(spark, sf, k=k, use_arrow=True).collect()]
+        assert rows_lit == rows_arw, f"top-k diverged at k={k}"
+
+
+def test_ann_ivf_threshold_selects_arrow():
+    """q_ann_ivf's k-threshold: literal at the default, Arrow beyond."""
+    import inspect
+
+    sig = inspect.signature(dq.q_ann_ivf)
+    assert sig.parameters["k"].default == dq._IVF_K
+    assert dq._IVF_K <= dq._IVF_LITERAL_MAX_K  # default stays oracle path
