@@ -77,18 +77,24 @@ HEADLINE = [
 # hitting), not weather. It is a LOUD TRIPWIRE, not a hard gate: the JSON
 # line carries a "regressions" list and stderr shouts, but the exit code
 # stays 0 so the driver still records the run. Queries added after the
-# envelope was recorded (e.g. lsh_cap_stats) are unchecked until the
-# envelope is refreshed from the next driver BENCH record.
+# envelope was recorded are unchecked until the envelope is refreshed from
+# the next driver BENCH record; tests/test_kernel_bench.py asserts the
+# shipped envelope covers EVERY headline entry (queries added mid-round are
+# seeded from a disclosed local sf0.1 local[32] run until a driver record
+# exists).
+# Recorded from BENCH_r07.json (driver run, sf0.1 local[32]) — round-7
+# review ask #2: ann_ivf and lsh_cap_stats are now guarded.
 ENVELOPE = {
-    "tpch_q1": 0.61, "tpch_q3": 2.062, "x1_extract": 0.316,
-    "x4_expand": 0.549, "x5_root": 0.267, "w1_first_success": 0.762,
-    "w2_budget": 0.71, "d1_anti_join": 0.434, "a2_rates": 0.647,
-    "dedup_exact": 0.545, "token_count": 0.221, "quality_score": 0.252,
-    "lang_id": 0.341, "ngram_jaccard": 0.457, "cosine_topk": 0.687,
-    "ann_lsh_bucket": 0.984, "img_pipeline": 0.325, "payload_validate": 0.434,
-    "sessionize": 1.014, "sample_split": 0.272, "fingerprint64": 0.327,
-    "simhash64": 0.294, "minhash_lsh_pairs": 3.435, "dedup_groups": 4.625,
-    "dedup_pipeline": 5.665, "crawl": 16.97,
+    "tpch_q1": 0.694, "tpch_q3": 2.379, "x1_extract": 0.368,
+    "x4_expand": 0.724, "x5_root": 0.333, "w1_first_success": 0.945,
+    "w2_budget": 0.748, "d1_anti_join": 0.418, "a2_rates": 0.603,
+    "dedup_exact": 0.552, "token_count": 0.205, "quality_score": 0.252,
+    "lang_id": 0.369, "ngram_jaccard": 0.463, "cosine_topk": 0.741,
+    "ann_lsh_bucket": 0.884, "ann_ivf": 3.484, "img_pipeline": 0.36,
+    "payload_validate": 0.474, "sessionize": 1.156, "sample_split": 0.37,
+    "repetition_score": 0.307, "fingerprint64": 0.295, "simhash64": 0.276,
+    "minhash_lsh_pairs": 3.883, "lsh_cap_stats": 1.25, "dedup_groups": 4.477,
+    "dedup_pipeline": 5.476, "crawl": 17.99,
 }
 ENVELOPE_NOISE_FACTOR = 3.0
 

@@ -84,10 +84,12 @@ def test_envelope_tripwire_logic():
                      "factor": 3.5}]
     # unknown query (added after the envelope was recorded): unchecked
     assert bench.check_envelope({"brand_new": 99.0}, env, 3.0) == []
-    # shipped envelope sanity: covers every headline query except ones
-    # newer than the last driver record, plus the crawl leg
+    # shipped envelope sanity: EVERY headline query is guarded (round-7
+    # review ask #2 — a query added to HEADLINE without an envelope row,
+    # seeded from the latest driver BENCH record or a disclosed local
+    # measurement, fails here), plus the crawl leg
     missing = [q for q in bench.HEADLINE if q not in bench.ENVELOPE]
-    assert set(missing) == {"lsh_cap_stats", "repetition_score", "ann_ivf"}
+    assert missing == []
     assert "crawl" in bench.ENVELOPE
 
 
