@@ -86,9 +86,27 @@ def wildcard_parents() -> frozenset:
     return frozenset(r[2:] for r in PSL_RULES if r.startswith("*."))
 
 
+@functools.lru_cache(maxsize=1)
+def _wildcard_parent_index() -> tuple[frozenset, int]:
+    """Wildcard parents as reversed-label tuples + the longest parent's
+    label count — the same reversed-label indexing ``_rule_index`` uses,
+    so a subtree lookup is a per-label dict probe instead of a scan over
+    every ``*.X`` rule (the real PSL has hundreds; the per-seed cost must
+    not scale with that — tests/test_psl_properties.py pins it on a
+    synthetic 500-wildcard-rule snapshot)."""
+    parents = frozenset(tuple(reversed(wp.split(".")))
+                        for wp in wildcard_parents())
+    return parents, max((len(p) for p in parents), default=0)
+
+
 def wildcard_subtree_parent_one(domain: str) -> str | None:
     """The wildcard-rule parent X (``*.X`` ∈ PSL) whose subtree contains
-    ``domain`` (domain == X or domain ends with ".X"), else None.
+    ``domain`` (domain == X or domain ends with ".X"), else None; with
+    NESTED wildcard rules (the real PSL has e.g. *.futurecms.at and
+    *.ex.futurecms.at) the LONGEST (most specific) parent wins —
+    deterministic by construction, never iteration-order-dependent, so
+    the expander's partition key is identical on every Python worker
+    regardless of PYTHONHASHSEED.
 
     Used by the fused seed expander's partitioning key: inside such a
     subtree the ``coalesce(etld1, host)`` key does NOT colocate all
@@ -96,13 +114,23 @@ def wildcard_subtree_parent_one(domain: str) -> str | None:
     expansion also emits ``www.X``; an excepted child ``!city.X`` keys to
     itself likewise), so the whole subtree must collapse to one key — any
     seed that can emit a host in the subtree is itself in the subtree,
-    which makes this exact.  Wildcard rules are rare in the PSL (a handful
-    of JP-prefecture blocks, *.ck, a few hosting providers), so the
-    one-key-per-subtree skew is bounded by the seed list's density under
-    those specific parents."""
-    for wp in wildcard_parents():
-        if domain == wp or domain.endswith("." + wp):
-            return wp
+    which makes this exact: expansion prefixes are SINGLE labels
+    (CommonSubdomains, core.py — asserted by the brute-force invariant
+    test), so an emitter of a host h is h itself or h minus its leftmost
+    label; for h inside a nested (inner) wildcard subtree both forms are
+    still inside it or equal its parent, hence longest-match keys every
+    emitter of h to the same (innermost containing) parent.
+    Wildcard rules are rare in the PSL (a handful of JP-prefecture
+    blocks, *.ck, a few hosting providers), so the one-key-per-subtree
+    skew is bounded by the seed list's density under those specific
+    parents."""
+    parents, max_len = _wildcard_parent_index()
+    if not max_len:
+        return None
+    rev = tuple(reversed(domain.split(".")))
+    for n in range(min(len(rev), max_len), 0, -1):  # longest first
+        if rev[:n] in parents:
+            return ".".join(reversed(rev[:n]))
     return None
 
 

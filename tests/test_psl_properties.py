@@ -113,3 +113,64 @@ def test_fused_expander_matches_reference_sim(lines, width, custom):
         want.setdefault(host, (root, depth))
     assert len(got) == got["host"].nunique(), "cross-partition duplicate"
     assert {r.host: (r.root, r.depth) for r in got.itertuples()} == want
+
+
+def test_wildcard_parent_longest_match_and_rule_count_independence():
+    """Round-7 ADVICE (high-value pair for the expander's partition key):
+
+    1. With NESTED wildcard rules (the real PSL: *.futurecms.at and
+       *.ex.futurecms.at) the returned parent is the LONGEST match —
+       deterministic regardless of rule declaration order or
+       PYTHONHASHSEED, where the old first-in-frozenset-iteration scan
+       was not.
+    2. Per-seed lookup cost does not scale with the wildcard-rule count
+       (the real PSL has hundreds): a 500-rule snapshot must cost the
+       same as a 10-rule one — the reversed-label index probes
+       min(#labels, max rule depth) tuples either way, where the old
+       form scanned every rule per seed (~50× at 500 rules).
+    """
+    import time
+
+    from subdomain_crawler_spark.functions import psl
+
+    def _clear():
+        psl.wildcard_parents.cache_clear()
+        psl._wildcard_parent_index.cache_clear()
+        psl._rule_index.cache_clear()
+        psl._multi_label_tlds.cache_clear()
+
+    orig = psl.PSL_RULES
+    try:
+        for order in (("*.futurecms.at", "*.ex.futurecms.at"),
+                      ("*.ex.futurecms.at", "*.futurecms.at")):
+            psl.PSL_RULES = ("at",) + order
+            _clear()
+            one = psl.wildcard_subtree_parent_one
+            assert one("x.ex.futurecms.at") == "ex.futurecms.at"
+            assert one("ex.futurecms.at") == "ex.futurecms.at"
+            assert one("deep.y.futurecms.at") == "futurecms.at"
+            assert one("futurecms.at") == "futurecms.at"
+            assert one("other.at") is None
+
+        hosts = [f"h{i}.site{i % 7}.org" for i in range(50_000)]
+
+        def cost(n_rules: int) -> float:
+            psl.PSL_RULES = tuple(f"*.zone{i}.example"
+                                  for i in range(n_rules))
+            _clear()
+            psl.wildcard_subtree_parent_one("warm.up")  # build the index
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.monotonic()
+                for h in hosts:
+                    psl.wildcard_subtree_parent_one(h)
+                best = min(best, time.monotonic() - t0)
+            return best
+
+        t10, t500 = cost(10), cost(500)
+        # index probes are per-LABEL, so the two are ~1×; the old
+        # per-rule endswith scan was ~50× — 3× is noise margin, not slack
+        assert t500 < 3 * t10 + 0.01, f"{t500=:.3f} vs {t10=:.3f}"
+    finally:
+        psl.PSL_RULES = orig
+        _clear()
