@@ -57,7 +57,8 @@ def build_spark(cpus: int):
 
 HEADLINE = [
     "tpch_q1", "tpch_q3", "x1_extract", "x4_expand", "x5_root",
-    "w1_first_success", "w2_budget", "d1_anti_join", "a2_rates", "dedup_exact",
+    "w1_first_success", "w2_budget", "d1_anti_join", "a2_rates",
+    "a2_windowed", "dedup_exact",
     "token_count", "quality_score", "lang_id", "ngram_jaccard",
     "cosine_topk", "ann_lsh_bucket", "ann_ivf", "img_pipeline",
     "payload_validate",
@@ -88,6 +89,9 @@ ENVELOPE = {
     "tpch_q1": 0.694, "tpch_q3": 2.379, "x1_extract": 0.368,
     "x4_expand": 0.724, "x5_root": 0.333, "w1_first_success": 0.945,
     "w2_budget": 0.748, "d1_anti_join": 0.418, "a2_rates": 0.603,
+    # a2_windowed added round 8 — seeded from a local sf0.1 local[32]
+    # measurement (0.59 s warm) until a driver BENCH record exists
+    "a2_windowed": 0.591,
     "dedup_exact": 0.552, "token_count": 0.205, "quality_score": 0.252,
     "lang_id": 0.369, "ngram_jaccard": 0.463, "cosine_topk": 0.741,
     "ann_lsh_bucket": 0.884, "ann_ivf": 3.484, "img_pipeline": 0.36,

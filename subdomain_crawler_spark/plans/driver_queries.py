@@ -1015,6 +1015,27 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_a2_windowed(spark, sf_dir):
+    """A2's event-time streaming twin, oracled (round-7 review ask #6):
+    the EXACT aggregation ``streaming/rates.windowed_rates`` runs inside
+    the watermarked stream, applied to the batch events table (on batch
+    input ``withWatermark`` is a no-op). The chain is closed in two hops:
+    tests/test_streaming_rates.py pins stream output ≡ this batch form,
+    and the DuckDB row pins this batch form ≡ SQL — so the streaming
+    surface is value-hash checked end-to-end, not rows-only."""
+    from ..streaming.rates import windowed_rates
+
+    return windowed_rates(_t(spark, sf_dir, "events"), window="5 minutes")
+
+
+SQL_A2_WINDOWED = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket, event_type,
+       count(*) AS requests,
+       round(count(*) / 300.0, 4) AS rate_per_sec
+FROM events GROUP BY 1, 2
+"""
+
+
 _SESSION_GAP_US = 1800 * 1_000_000  # 30-minute inactivity gap
 
 
@@ -1790,6 +1811,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "a3_recent": q_a3_recent,
     "a2_rates": q_a2_rates,
+    "a2_windowed": q_a2_windowed,
     "props_json": q_props_json,
     "sessionize": q_sessionize,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
@@ -1836,6 +1858,7 @@ def oracles() -> dict[str, str]:
         "ann_ivf": _sql_ann_ivf(),
         "a3_recent": SQL_A3,
         "a2_rates": SQL_A2,
+        "a2_windowed": SQL_A2_WINDOWED,
         "props_json": SQL_PROPS_JSON,
         "sessionize": SQL_SESSIONIZE,
         "emb_near_dup_pairs": _sql_emb_near_dup(),

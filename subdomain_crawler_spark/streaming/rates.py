@@ -48,7 +48,10 @@ def windowed_rates(events: DataFrame, window: str = "5 minutes",
     batch A2 aggregation at this window width, which is what the
     equivalence test pins.
     """
-    win_sec = F.col("w.end").cast("long") - F.col("w.start").cast("long")
+    # timestamp_diff, not cast-to-long: the engine's persisted events carry
+    # TIMESTAMP_NTZ (zone-free), which Spark refuses to cast to bigint;
+    # the diff form works on both NTZ and LTZ inputs
+    win_sec = F.timestamp_diff("SECOND", F.col("w.start"), F.col("w.end"))
     return (events
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -61,19 +64,31 @@ def windowed_rates(events: DataFrame, window: str = "5 minutes",
 
 def start_rate_stream(spark, events_dir: str, checkpoint_dir: str,
                       sink, window: str = "5 minutes",
-                      watermark: str = "5 minutes", schema=None):
+                      watermark: str = "5 minutes", schema=None,
+                      processing_time: str | None = None):
     """File-source stream of event rows → watermarked windowed rates →
     ``sink(batch_df, batch_id)`` via foreachBatch in ``update`` mode
     (each micro-batch emits the windows it changed; the sink upserts by
     (bucket, event_type)).  Returns the StreamingQuery; a later run over
     the same ``checkpoint_dir`` resumes the watermark, so windows already
     finalized stay closed and older-than-watermark rows are dropped —
-    pinned by tests/test_streaming_rates.py."""
+    pinned by tests/test_streaming_rates.py.
+
+    Trigger: by default ``availableNow`` — drain every file already
+    present, then stop (the drain-and-resume contract the tests pin, and
+    the right shape for a periodic batch-ish refresh).  A LIVE deployment
+    passes ``processing_time`` (e.g. ``"10 seconds"``) and the query runs
+    continuously, emitting each micro-batch on that cadence (round-7
+    review: the continuous mode must be reachable through this API, not
+    hardcoded away)."""
     raw = spark.readStream.schema(schema).parquet(events_dir)
     rates = windowed_rates(raw, window=window, watermark=watermark)
-    return (rates.writeStream
-            .foreachBatch(sink)
-            .outputMode("update")
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start())
+    writer = (rates.writeStream
+              .foreachBatch(sink)
+              .outputMode("update")
+              .option("checkpointLocation", checkpoint_dir))
+    if processing_time is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

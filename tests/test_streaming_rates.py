@@ -94,3 +94,40 @@ def test_batch_stream_aggregation_equivalence(spark):
                               F.round(F.col("requests") / 300.0, 4)
                                .alias("rate_per_sec"))).collect()}
     assert got == want and len(got) == 12
+
+
+def test_processing_time_trigger_runs_continuously(spark, tmp_path):
+    """A live deployment passes processing_time and the query keeps
+    running across micro-batches instead of draining and stopping
+    (round-7 review: continuous mode must be reachable via the API) —
+    files added AFTER the stream starts are picked up by a later
+    micro-batch of the SAME query."""
+    import time
+
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    store: dict = {}
+
+    def sink(batch, batch_id):
+        for r in batch.collect():
+            store[(r["bucket"], r["event_type"])] = r["requests"]
+
+    _write(spark, events_dir, [(T0 + dt.timedelta(minutes=1), "http")])
+    q = rates.start_rate_stream(
+        spark, events_dir, ckpt, sink, window="5 minutes",
+        watermark="5 minutes", schema=SCHEMA,
+        processing_time="1 second")
+    try:
+        deadline = time.monotonic() + 60
+        while (T0, "http") not in store and time.monotonic() < deadline:
+            time.sleep(0.25)
+        assert store.get((T0, "http")) == 1
+        assert q.isActive, "availableNow semantics leaked into live mode"
+
+        _write(spark, events_dir, [(T0 + dt.timedelta(minutes=2), "http")])
+        while store.get((T0, "http")) != 2 and time.monotonic() < deadline:
+            time.sleep(0.25)
+        assert store.get((T0, "http")) == 2
+        assert q.isActive
+    finally:
+        q.stop()
