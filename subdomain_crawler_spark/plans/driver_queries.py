@@ -1522,7 +1522,8 @@ def _band_keys(docs: DataFrame) -> DataFrame:
 
 
 def _lsh_band_pairs(docs: DataFrame,
-                    bucket_cap: int | None = None) -> DataFrame:
+                    bucket_cap: int | None = None,
+                    observer=None) -> DataFrame:
     """MinHash-LSH candidate pairs over ``docs(doc_id, text)``: band the
     64-perm signature into 8 bands × 8 rows, key each band with a 128-bit
     two-seed xxhash64 struct (a 16-byte JVM-native shuffle key — the key
@@ -1580,8 +1581,28 @@ def _lsh_band_pairs(docs: DataFrame,
                   .filter(F.col("a") < F.col("b")).select("a", "b"))
     # star: overflow members → bucket min (bmin is rn==1, inside the
     # clique, and < every overflow doc_id by construction)
-    star = (bigr.filter(F.col("rn") > bucket_cap)
-            .select(F.col("bmin").alias("a"), F.col("doc_id").alias("b")))
+    overflow = bigr.filter(F.col("rn") > bucket_cap)
+    if observer is not None:
+        # Cap telemetry riding the caller's OWN first action (round-7
+        # VERDICT ask #5 — the A1 counters-on-writes pattern): one row per
+        # overflow member flows through this node exactly once, when
+        # connected_components materializes its edge persist, so the
+        # metrics cost nothing extra. rn == cap+1 marks each capped bucket
+        # exactly once (that row carries the bucket's k), which yields the
+        # same capped_buckets / star_edges / dropped_pairs definitions as
+        # the standalone _lsh_cap_stats aggregation — pinned equal by
+        # tests/test_text.py::test_dedup_pipeline_cap_observation.
+        head = (F.col("rn") == bucket_cap + 1).cast("long")
+        cap_pairs = bucket_cap * (bucket_cap - 1) // 2
+        overflow = overflow.observe(
+            observer,
+            F.coalesce(F.sum(head), F.lit(0)).alias("capped_buckets"),
+            F.count(F.lit(1)).alias("star_edges"),
+            F.coalesce(F.sum((F.expr("k * (k - 1) div 2")
+                              - F.lit(cap_pairs)
+                              - (F.col("k") - bucket_cap)) * head),
+                       F.lit(0)).alias("dropped_pairs"))
+    star = overflow.select(F.col("bmin").alias("a"), F.col("doc_id").alias("b"))
     return pairs_small.unionByName(clique_big).unionByName(star).distinct()
 
 
@@ -1741,10 +1762,30 @@ def q_dedup_pipeline(spark, sf_dir):
     a recompute.  The output is the pipeline's SMALLEST table (two ids per
     document), so the one extra materialization is cheap at any scale; its
     blocks are freed when the caller drops the returned DataFrame."""
+    out, _ = dedup_pipeline_run(_docs_wide(spark, sf_dir))
+    return out
+
+
+def dedup_pipeline_run(d: DataFrame,
+                       bucket_cap: int = 64) -> tuple[DataFrame, dict]:
+    """The composed dedup pipeline as a library call over ``d(doc_id,
+    text)``: fingerprint → exact-collapse → capped LSH banding over
+    representatives → connected components → expand.  Returns
+    ``(labels, metrics)``: labels is the (doc_id, group_id) frame
+    q_dedup_pipeline exposes; metrics is the star-expansion cap telemetry
+    (bucket_cap / capped_buckets / star_edges / dropped_pairs) OBSERVED on
+    the action the pipeline already executes (the edge materialization
+    inside connected_components — the A1 counters-riding-writes pattern,
+    round-7 VERDICT ask #5), so a production run records capping without
+    a second scan; ``cap_metrics_df`` turns it into a one-row frame a
+    caller appends to whatever metrics table it keeps.  The standalone
+    q_lsh_cap_stats query stays the on-demand form of the same numbers."""
+    from pyspark.sql import Observation
+
     from ..operators.components import connected_components, \
         free_checkpoint_blocks
 
-    d = _docs_wide(spark, sf_dir)
+    obs = Observation()
     fp = d.select("doc_id", udfs.udf_fingerprint64("text").alias("fp64"))
     # one fingerprint scan + one shuffle: min-doc_id representative per
     # fingerprint as a whole-partition window agg (the groupBy+re-join
@@ -1757,14 +1798,32 @@ def q_dedup_pipeline(spark, sf_dir):
         repmap.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
         "doc_id")
     labels = connected_components(
-        _lsh_band_pairs(repdocs, bucket_cap=64), "a", "b")
+        _lsh_band_pairs(repdocs, bucket_cap=bucket_cap, observer=obs),
+        "a", "b")
     out = (repmap.join(labels, repmap["rep_id"] == labels["id"], "left")
            .select("doc_id",
                    F.coalesce("label", "rep_id").alias("group_id"))
            .localCheckpoint(eager=True))
     repmap.unpersist()
     free_checkpoint_blocks(labels)
-    return out
+    # connected_components ran the action (edges.count) — obs.get returns
+    # immediately; empty overflow branch → nulls → zeros
+    got = obs.get
+    metrics = {"bucket_cap": bucket_cap,
+               "capped_buckets": int(got["capped_buckets"] or 0),
+               "star_edges": int(got["star_edges"] or 0),
+               "dropped_pairs": int(got["dropped_pairs"] or 0)}
+    return out, metrics
+
+
+def cap_metrics_df(spark: SparkSession, metrics: dict) -> DataFrame:
+    """One-row frame of dedup_pipeline_run's cap telemetry, schema-matched
+    to q_lsh_cap_stats so it appends to the same metrics table."""
+    return spark.createDataFrame(
+        [(int(metrics["bucket_cap"]), int(metrics["capped_buckets"]),
+          int(metrics["star_edges"]), int(metrics["dropped_pairs"]))],
+        "bucket_cap long, capped_buckets long, star_edges long, "
+        "dropped_pairs long")
 
 
 def _sql_dedup_pipeline() -> str:
