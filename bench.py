@@ -60,7 +60,8 @@ HEADLINE = [
     "w1_first_success", "w2_budget", "d1_anti_join", "a2_rates",
     "a2_windowed", "dedup_exact",
     "token_count", "quality_score", "lang_id", "ngram_jaccard",
-    "cosine_topk", "ann_lsh_bucket", "ann_ivf", "img_pipeline",
+    "cosine_topk", "ann_lsh_bucket", "ann_ivf", "ann_ivf_arrow",
+    "img_pipeline",
     "payload_validate",
     "sessionize", "sample_split", "repetition_score", "fingerprint64",
     "simhash64", "minhash_lsh_pairs", "lsh_cap_stats", "dedup_groups",
@@ -94,7 +95,15 @@ ENVELOPE = {
     "a2_windowed": 0.591,
     "dedup_exact": 0.552, "token_count": 0.205, "quality_score": 0.252,
     "lang_id": 0.369, "ngram_jaccard": 0.463, "cosine_topk": 0.741,
-    "ann_lsh_bucket": 0.884, "ann_ivf": 3.484, "img_pipeline": 0.36,
+    "ann_lsh_bucket": 0.884, "ann_ivf": 3.484,
+    # ann_ivf_arrow added round 8 — seeded from a local sf0.1 local[32]
+    # bench.py run (3.06 s) until a driver record exists. A tight re-run
+    # loop of the same query measures 0.88 s warm: the delta is Python
+    # worker respawn for the pandas-UDF stage after the suite's other
+    # queries run in between, so the in-suite number is the one this
+    # envelope must carry (same-protocol rule, BENCH/BASELINE.md §0b).
+    "ann_ivf_arrow": 3.055,
+    "img_pipeline": 0.36,
     "payload_validate": 0.474, "sessionize": 1.156, "sample_split": 0.37,
     "repetition_score": 0.307, "fingerprint64": 0.295, "simhash64": 0.276,
     "minhash_lsh_pairs": 3.883, "lsh_cap_stats": 1.25, "dedup_groups": 4.477,

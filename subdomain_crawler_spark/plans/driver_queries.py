@@ -976,6 +976,16 @@ ORDER BY cos_sim DESC, vec_id LIMIT {_IVF_TOPK}
 """
 
 
+def q_ann_ivf_arrow(spark, sf_dir):
+    """The IVF large-k production path, driver-verified: same query as
+    ``ann_ivf`` but with ``use_arrow=True`` forced, so the Arrow-batched
+    argmax kernel (`_ivf_cells_arrow` / `_ivf_scores_np`) runs against the
+    SAME oracle SQL the literal path is pinned to. Green here proves the
+    bit-parity contract end-to-end through the driver's value-hash compare,
+    not just the in-repo parity unit test."""
+    return q_ann_ivf(spark, sf_dir, use_arrow=True)
+
+
 def q_a3_recent(spark, sf_dir):
     """A3 — recent-discoveries ring: last 50 events by time
     (presenter/dashboard.go:306-315; trivially relational here)."""
@@ -1868,6 +1878,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_arrow": q_ann_ivf_arrow,
     "a3_recent": q_a3_recent,
     "a2_rates": q_a2_rates,
     "a2_windowed": q_a2_windowed,
@@ -1915,6 +1926,10 @@ def oracles() -> dict[str, str]:
         "cosine_topk": SQL_COSINE_TOPK,
         "ann_lsh_bucket": _sql_ann_lsh(),
         "ann_ivf": _sql_ann_ivf(),
+        # the Arrow kernel is bit-equal to the literal path by contract, so
+        # it must reproduce the SAME oracle rows — sharing the SQL is the
+        # point, not a shortcut
+        "ann_ivf_arrow": _sql_ann_ivf(),
         "a3_recent": SQL_A3,
         "a2_rates": SQL_A2,
         "a2_windowed": SQL_A2_WINDOWED,
