@@ -63,6 +63,7 @@ HEADLINE = [
     "cosine_topk", "ann_lsh_bucket", "ann_ivf", "ann_ivf_arrow",
     "img_pipeline",
     "payload_validate",
+    "img_near_dup_pairs", "img_dup_groups", "img_caption_conflicts",
     "sessionize", "sample_split", "repetition_score", "fingerprint64",
     "simhash64", "minhash_lsh_pairs", "lsh_cap_stats", "dedup_groups",
     "dedup_pipeline",
@@ -104,7 +105,13 @@ ENVELOPE = {
     # envelope must carry (same-protocol rule, BENCH/BASELINE.md §0b).
     "ann_ivf_arrow": 3.055,
     "img_pipeline": 0.36,
-    "payload_validate": 0.474, "sessionize": 1.156, "sample_split": 0.37,
+    "payload_validate": 0.474,
+    # image near-dup family added round 8 — seeded from a local sf0.1
+    # local[32] bench.py run (in-suite, same-protocol) until a driver
+    # BENCH record exists
+    "img_near_dup_pairs": 0.477, "img_dup_groups": 2.584,
+    "img_caption_conflicts": 0.553,
+    "sessionize": 1.156, "sample_split": 0.37,
     "repetition_score": 0.307, "fingerprint64": 0.295, "simhash64": 0.276,
     "minhash_lsh_pairs": 3.883, "lsh_cap_stats": 1.25, "dedup_groups": 4.477,
     "dedup_pipeline": 5.476, "crawl": 17.99,

@@ -1392,6 +1392,244 @@ FROM t
 """
 
 
+# -- image near-dup dedup (pHash Hamming, multi-index hashing) ---------------
+# The input_hint corpus carries phash:int64 per image+caption row; a training
+# pipeline dedups it by Hamming distance, not byte equality (re-encoded /
+# lightly-perturbed copies hash nearby, not equal).  The scale shape is
+# multi-index hashing (Norouzi et al., "Fast Search in Hamming Space with
+# Multi-Index Hashing"): split the 64-bit hash into b=4 disjoint 16-bit
+# bands — any two codes within Hamming radius r ≤ b−1 = 3 agree EXACTLY on
+# at least one band (pigeonhole), so an equi-self-join per band generates a
+# candidate superset and one JVM bit_count(xor) confirm filter finishes it.
+# No all-pairs anywhere; the join partitions by (band, value).  The fixture
+# is deterministic and carries the exact input_hint shape
+# (image_id, bytes, w, h, fmt, caption, phash) with REAL encoded payloads:
+# phash is computed by functions/image.average_hash on the DECODED stored
+# bytes and asserted equal to the designed bit pattern at build time.
+
+_IMG_CORPUS_FIXTURE = "/tmp/spark_graft_img_corpus_v1.parquet"
+_IMG_GROUPS = 100
+_IMG_RADIUS = 3  # b=4 16-bit bands certify exactly r ≤ 3
+
+
+def _img_group_patterns():
+    """Deterministic 8×8 phash bit patterns: one 64-bit base per group
+    (RandomState(1234), pairwise Hamming ≥ 12 — asserted), members are the
+    base with 0 / 1 / 2 / 4 designed bit flips.  Members 0-2 sit pairwise
+    at or below the MIH radius (distances up to exactly 3, the boundary);
+    the 4-flip member is ≥ 4 from every sibling (a designed singleton) yet
+    its flips span only 2 of the 4 bands, so band-join candidates exist
+    that the confirm filter must reject.
+    Inter-group distances ≥ 12 − 4 − 4 = 4 > radius: provably no cross-group
+    pairs."""
+    import numpy as np
+
+    rs = np.random.RandomState(1234)
+    bases = rs.randint(0, 2, size=(_IMG_GROUPS, 64), dtype=np.uint8)
+    xors = np.bitwise_xor(bases[:, None, :], bases[None, :, :]).sum(axis=2)
+    np.fill_diagonal(xors, 64)
+    assert xors.min() >= 12, f"base separation broke: {xors.min()}"
+    pats = []
+    for g in range(_IMG_GROUPS):
+        base = bases[g]
+        # members 1/2 flip within pattern indices 0..31 (bands 3/2 of the
+        # packed int); member 3's four flips live ONLY in indices 32..63
+        # (bands 1/0), so it agrees with base on both of bands 3/2 — and
+        # with member 1 on whichever of them member 1 left untouched —
+        # while sitting at distance ≥ 4 from every sibling: guaranteed
+        # band-join candidates the confirm must reject.
+        flips = [(), ((g * 7 + 3) % 32,),
+                 ((g * 11 + 5) % 32, (g * 13 + 17) % 32)]
+        b0 = g % 16
+        flips.append((32 + b0, 32 + (b0 + 7) % 16,
+                      48 + b0, 48 + (b0 + 9) % 16))
+        for m, fl in enumerate(flips):
+            p = base.copy()
+            for bit in set(fl):
+                p[bit] ^= 1
+            if p.sum() in (0, 64):  # keep the ≥-mean threshold two-sided
+                p[63] ^= 1
+            pats.append((g, m, p))
+    return pats
+
+
+def _img_pattern_to_image(pat):
+    """8×8 bit pattern → 16×16 RGB whose average_hash is exactly that
+    pattern: pixel 50 + 150·bit, so every set cell (200) ≥ the cell mean
+    (50 + 150·k/64, 0<k<64) and every unset cell (50) is below it; the
+    6-bit lossy quantization (200→200, 50→48) preserves both sides."""
+    import numpy as np
+
+    gray = (np.kron(pat.reshape(8, 8), np.ones((2, 2), dtype=np.uint8))
+            * 150 + 50).astype(np.uint8)
+    return np.stack([gray] * 3, axis=2)
+
+
+def _ensure_img_corpus_fixture() -> str:
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions import image as img_m
+
+    if os.path.exists(_IMG_CORPUS_FIXTURE):
+        return _IMG_CORPUS_FIXTURE
+    rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt",
+                            "caption", "phash")}
+    for idx, (g, m, pat) in enumerate(_img_group_patterns()):
+        img = _img_pattern_to_image(pat)
+        fmt = "raw" if idx % 2 == 0 else "lossy"
+        enc = img_m.encode_image(img, fmt)
+        ph = img_m.average_hash(img_m.decode_image(enc, fmt))
+        want = int(np.uint64(
+            int("".join(map(str, pat.tolist())), 2)).astype(np.int64))
+        assert ph == want, f"phash kernel diverged from design at row {idx}"
+        cap = (f"alt text variant {g}" if (m == 1 and g % 3 == 0)
+               else f"a photo of scene {g}")
+        rows["image_id"].append(f"im{idx:05d}")
+        rows["bytes"].append(enc)
+        rows["w"].append(16)
+        rows["h"].append(16)
+        rows["fmt"].append(fmt)
+        rows["caption"].append(cap)
+        rows["phash"].append(ph)
+    schema = pa.schema([("image_id", pa.string()), ("bytes", pa.binary()),
+                        ("w", pa.int32()), ("h", pa.int32()),
+                        ("fmt", pa.string()), ("caption", pa.string()),
+                        ("phash", pa.int64())])
+    tmp = _IMG_CORPUS_FIXTURE + ".tmp"
+    pq.write_table(pa.table(rows, schema=schema), tmp)
+    os.replace(tmp, _IMG_CORPUS_FIXTURE)  # atomic vs concurrent builders
+    return _IMG_CORPUS_FIXTURE
+
+
+def _img_corpus(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(_ensure_img_corpus_fixture())
+
+
+def _img_band_pairs(imgs: DataFrame) -> DataFrame:
+    """MIH candidate generation + exact confirm: posexplode the 4 16-bit
+    bands (shiftrightunsigned keeps negative phashes correct), equi-self-join
+    per (band, value), dedup multi-band hits, confirm with JVM
+    bit_count(xor) ≤ radius.  At 10^10 rows the same capped star expansion
+    as _lsh_band_pairs bounds hot buckets (all-equal images collapse under
+    exact dedup first, exactly like the text pipeline); radius > 3 means
+    more/wider bands (b = r+1), not a different plan."""
+    bands = imgs.select(
+        "image_id", "phash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("phash", 16 * k).bitwiseAND(F.lit(0xFFFF))
+            for k in range(4)])).alias("band", "bv"))
+    a = bands.select(F.col("image_id").alias("left_id"),
+                     F.col("phash").alias("lp"), "band", "bv")
+    b = bands.select(F.col("image_id").alias("right_id"),
+                     F.col("phash").alias("rp"), "band", "bv")
+    cand = (a.join(b, ["band", "bv"])
+             .filter(F.col("left_id") < F.col("right_id"))
+             .select("left_id", "right_id", "lp", "rp").distinct())
+    dist = F.bit_count(F.col("lp").bitwiseXOR(F.col("rp"))).cast("long")
+    return (cand.withColumn("dist", dist)
+                .filter(F.col("dist") <= _IMG_RADIUS))
+
+
+def q_img_near_dup_pairs(spark, sf_dir):
+    """Image near-dup pairs by pHash Hamming ≤ 3 via multi-index hashing
+    over the input_hint corpus — the image-payload twin of
+    minhash_lsh_pairs.  The DuckDB oracle brute-forces bit_count(xor) over
+    all pairs, so the MIH band decomposition (superset + confirm) is
+    verified exhaustive at fixture scale, including the designed
+    band-collision rows whose distance exceeds the radius (candidates the
+    confirm filter must drop)."""
+    return (_img_band_pairs(_img_corpus(spark))
+            .select("left_id", "right_id", "dist"))
+
+
+def _sql_img_near_dup() -> str:
+    return f"""
+WITH t AS (SELECT image_id, phash
+           FROM read_parquet('{_IMG_CORPUS_FIXTURE}'))
+SELECT a.image_id AS left_id, b.image_id AS right_id,
+       bit_count(xor(a.phash, b.phash))::BIGINT AS dist
+FROM t a JOIN t b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {_IMG_RADIUS}
+"""
+
+
+def q_img_dup_groups(spark, sf_dir):
+    """Image duplicate clusters: MIH near-dup edges → the same
+    pointer-jumping connected-components operator the text pipeline uses
+    (operators/components.py), group label = min numeric image id of the
+    cluster, singletons their own group — identical semantics to
+    dedup_pipeline, over the image payload.  Node ids are the numeric
+    suffix of image_id (CC and its Arrow fast path need int64 nodes)."""
+    from ..operators.components import connected_components, \
+        free_checkpoint_blocks
+
+    imgs = _img_corpus(spark)
+    nid = lambda c: F.substring(c, 3, 16).cast("long")  # noqa: E731
+    edges = (_img_band_pairs(imgs)
+             .select(nid("left_id").alias("a"), nid("right_id").alias("b")))
+    labels = connected_components(edges)
+    out = (imgs.select("image_id", nid("image_id").alias("id"))
+               .join(labels, "id", "left")
+               .select("image_id",
+                       F.coalesce("label", "id").alias("group_id")))
+    out = out.localCheckpoint(eager=True)  # labels freed below stay unused
+    free_checkpoint_blocks(labels)
+    return out
+
+
+def _sql_img_dup_groups() -> str:
+    return (f"""WITH RECURSIVE t AS (
+  SELECT image_id, CAST(substring(image_id, 3) AS BIGINT) AS id, phash
+  FROM read_parquet('{_IMG_CORPUS_FIXTURE}')
+), pairs AS (
+  SELECT a.id AS a, b.id AS b
+  FROM t a JOIN t b ON a.id < b.id
+  WHERE bit_count(xor(a.phash, b.phash)) <= {_IMG_RADIUS}
+), """ + _SQL_CC_CTES + """
+SELECT t.image_id, coalesce(cc.group_id, t.id) AS group_id
+FROM t LEFT JOIN cc ON t.id = cc.id
+""")
+
+
+def q_img_caption_conflicts(spark, sf_dir):
+    """Training-data hygiene: near-duplicate images whose captions DISAGREE
+    — the rows a caption-supervised training set must reconcile before
+    dedup collapses them (keeping an arbitrary member silently drops the
+    other label).  Near-dup edges from the MIH pipeline joined back to the
+    corpus captions (broadcast-sized here; at scale the same image_id-
+    bucketed join payload_validate uses), filtered to caption inequality."""
+    imgs = _img_corpus(spark)
+    caps = imgs.select("image_id", "caption")
+    pairs = _img_band_pairs(imgs).select("left_id", "right_id", "dist")
+    out = (pairs
+           .join(caps.select(F.col("image_id").alias("left_id"),
+                             F.col("caption").alias("left_caption")),
+                 "left_id")
+           .join(caps.select(F.col("image_id").alias("right_id"),
+                             F.col("caption").alias("right_caption")),
+                 "right_id")
+           .filter(F.col("left_caption") != F.col("right_caption")))
+    return out.select("left_id", "right_id", "dist",
+                      "left_caption", "right_caption")
+
+
+def _sql_img_caption_conflicts() -> str:
+    return f"""
+WITH t AS (SELECT image_id, caption, phash
+           FROM read_parquet('{_IMG_CORPUS_FIXTURE}'))
+SELECT a.image_id AS left_id, b.image_id AS right_id,
+       bit_count(xor(a.phash, b.phash))::BIGINT AS dist,
+       a.caption AS left_caption, b.caption AS right_caption
+FROM t a JOIN t b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {_IMG_RADIUS}
+  AND a.caption <> b.caption
+"""
+
+
 # -- sketch ops: Arrow-UDF kernels on the Spark side, exact DuckDB twins -----
 # The kernels (functions/text.py) were designed SQL-portable: polynomial
 # folds mod Mersenne primes that DuckDB reproduces bit-for-bit with
@@ -1888,6 +2126,9 @@ QUERIES = {
     "x2_extract_html": q_x2_extract_html,
     "img_pipeline": q_img_pipeline,
     "payload_validate": q_payload_validate,
+    "img_near_dup_pairs": q_img_near_dup_pairs,
+    "img_dup_groups": q_img_dup_groups,
+    "img_caption_conflicts": q_img_caption_conflicts,
     "sample_split": q_sample_split,
     "repetition_score": q_repetition_score,
     "fingerprint64": q_fingerprint64,
@@ -1902,6 +2143,7 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     _ensure_payload_fixture()
+    _ensure_img_corpus_fixture()
     return {
         "f1_validate": SQL_F1,
         "f2_scope": SQL_F2,
@@ -1951,6 +2193,12 @@ def oracles() -> dict[str, str]:
         # path (the sf views carry no binary columns) — ensure it exists
         # whichever side the driver runs first
         "payload_validate": _sql_payload_validate(),
+        # image near-dup family: oracle reads the same input_hint-shaped
+        # fixture parquet and brute-forces all pairs, proving the MIH band
+        # decomposition exhaustive (incl. its designed rejected candidates)
+        "img_near_dup_pairs": _sql_img_near_dup(),
+        "img_dup_groups": _sql_img_dup_groups(),
+        "img_caption_conflicts": _sql_img_caption_conflicts(),
         "sample_split": _sql_sample_split(),
         "repetition_score": _sql_repetition(),
     }
