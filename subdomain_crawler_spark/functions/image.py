@@ -191,6 +191,28 @@ def validate_batch(
     return pd.DataFrame({"psnr_db": out_psnr, "pixels_ok": ok, "caption_ok": cap_ok})
 
 
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resample to (out_h, out_w) — the brief's resize op,
+    pure integer index arithmetic (deterministic on any platform).  Source
+    pixel for output row i is floor(i·h/out_h) (the standard NN mapping)."""
+    h, w, _ = img.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys][:, xs]
+
+
+def resize_box_mean(img: np.ndarray, factor: int) -> np.ndarray:
+    """Integer-factor box-mean downscale (antialiased reduce): each output
+    pixel is the uint8-floored mean of its factor×factor source block.
+    Requires dims divisible by factor (fixtures guarantee it; a general
+    resampler would pad — out of scope for the deterministic kernel)."""
+    h, w, c = img.shape
+    assert h % factor == 0 and w % factor == 0
+    v = img.reshape(h // factor, factor, w // factor, factor, c)
+    return (v.astype(np.uint32).sum(axis=(1, 3))
+            // (factor * factor)).astype(np.uint8)
+
+
 def phash_batch(byts: pd.Series, fmts: pd.Series) -> pd.Series:
     vals = [
         average_hash(decode_image(b, f)) if b is not None else None

@@ -1630,6 +1630,260 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {_IMG_RADIUS}
 """
 
 
+# -- video frame sampling (multimodal brief op: binary col → mapInPandas) ----
+# The brief names frame-sampling as a first-class multimodal op.  The video
+# fixture packs the image corpus's DECODED frames into real ``rawv``
+# containers (functions/video.py — 25 videos × 16 frames of the 400-image
+# fixture), so the Spark kernel genuinely parses binary video bytes and
+# hashes sampled frames, while the DuckDB oracle derives the expected
+# phashes from the INDEPENDENT image fixture's phash column (itself
+# asserted equal to the designed bit pattern at build time) — the two
+# sides meet only at the values.
+
+_VIDEO_FIXTURE = "/tmp/spark_graft_video_corpus_v1.parquet"
+_VIDEO_FRAMES = 16
+_VIDEO_STRIDE = 4
+
+
+def _ensure_video_fixture() -> str:
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions import image as img_m
+    from ..functions import video as vid_m
+
+    if os.path.exists(_VIDEO_FIXTURE):
+        return _VIDEO_FIXTURE
+    imgs = pq.read_table(_ensure_img_corpus_fixture(),
+                         columns=["image_id", "bytes", "fmt"]).to_pandas()
+    imgs = imgs.sort_values("image_id").reset_index(drop=True)
+    n_videos = len(imgs) // _VIDEO_FRAMES
+    rows = {k: [] for k in ("video_id", "bytes", "w", "h", "n_frames",
+                            "fps", "fmt")}
+    for v in range(n_videos):
+        sl = imgs.iloc[v * _VIDEO_FRAMES:(v + 1) * _VIDEO_FRAMES]
+        frames = np.stack([
+            img_m.decode_image(b, f)
+            for b, f in zip(sl["bytes"], sl["fmt"])])
+        rows["video_id"].append(f"vid{v:03d}")
+        rows["bytes"].append(vid_m.encode_video(frames))
+        rows["w"].append(frames.shape[2])
+        rows["h"].append(frames.shape[1])
+        rows["n_frames"].append(_VIDEO_FRAMES)
+        rows["fps"].append(25)
+        rows["fmt"].append("rawv")
+    schema = pa.schema([("video_id", pa.string()), ("bytes", pa.binary()),
+                        ("w", pa.int32()), ("h", pa.int32()),
+                        ("n_frames", pa.int32()), ("fps", pa.int32()),
+                        ("fmt", pa.string())])
+    tmp = _VIDEO_FIXTURE + ".tmp"
+    pq.write_table(pa.table(rows, schema=schema), tmp)
+    os.replace(tmp, _VIDEO_FIXTURE)  # atomic vs concurrent builders
+    return _VIDEO_FIXTURE
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """Stride-4 frame sampling + per-frame phash over binary video columns
+    via ``mapInPandas`` — the brief's multimodal batch shape: each Arrow
+    batch of (video_id, bytes, fmt) rows explodes into sampled-frame rows,
+    and the kernel materializes ONLY sampled frames (offset arithmetic into
+    the container — functions/video.py).  At 10^10 videos this is an
+    embarrassingly parallel scan: no shuffle, cost ∝ bytes hashed; the
+    output (video_id, frame_idx, phash) feeds the SAME MIH near-dup
+    pipeline as still images (img_near_dup_pairs)."""
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    from ..functions import image as img_m
+    from ..functions import video as vid_m
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {"video_id": [], "frame_idx": [], "phash": []}
+            for vid, buf, fmt in zip(pdf["video_id"], pdf["bytes"],
+                                     pdf["fmt"]):
+                for idx, frame in vid_m.sample_frames(buf, _VIDEO_STRIDE,
+                                                      fmt):
+                    out["video_id"].append(vid)
+                    out["frame_idx"].append(idx)
+                    out["phash"].append(img_m.average_hash(frame))
+            if out["video_id"]:  # empty object-dtype frames break Arrow
+                yield pd.DataFrame(out)
+
+    t = spark.read.parquet(_ensure_video_fixture())
+    return (t.select("video_id", "bytes", "fmt")
+             .mapInPandas(kernel,
+                          "video_id string, frame_idx long, phash long"))
+
+
+def _sql_video_frame_sample() -> str:
+    return f"""
+WITH imgs AS (
+  SELECT CAST(substring(image_id, 3) AS BIGINT) AS idx, phash
+  FROM read_parquet('{_IMG_CORPUS_FIXTURE}')
+)
+SELECT 'vid' || lpad((idx // {_VIDEO_FRAMES})::VARCHAR, 3, '0') AS video_id,
+       (idx % {_VIDEO_FRAMES})::BIGINT AS frame_idx,
+       phash
+FROM imgs
+WHERE (idx % {_VIDEO_FRAMES}) % {_VIDEO_STRIDE} = 0
+"""
+
+
+# -- image resize (multimodal brief op) --------------------------------------
+
+
+def q_img_resize(spark, sf_dir):
+    """The brief's resize op as an Arrow batch kernel: decode stored corpus
+    bytes → 2× nearest-neighbor upscale AND factor-2 box-mean downscale
+    (functions/image.py) → phash of each.  The fixture's images are uniform
+    2×2-block mosaics, so BOTH resizes provably preserve the average-hash
+    (NN doubling keeps cells uniform; box-mean of a uniform block is exact)
+    — the oracle pins phash_up = phash_down = the stored phash, making the
+    resize kernels' pixel arithmetic correctness-gated, not just unit-
+    tested.  Same no-shuffle scan shape as video_frame_sample."""
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    from ..functions import image as img_m
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {"image_id": [], "phash_up": [], "phash_down": []}
+            for iid, buf, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                     pdf["fmt"]):
+                img = img_m.decode_image(buf, fmt)
+                up = img_m.resize_nearest(img, img.shape[0] * 2,
+                                          img.shape[1] * 2)
+                down = img_m.resize_box_mean(img, 2)
+                out["image_id"].append(iid)
+                out["phash_up"].append(img_m.average_hash(up))
+                out["phash_down"].append(img_m.average_hash(down))
+            if out["image_id"]:  # empty object-dtype frames break Arrow
+                yield pd.DataFrame(out)
+
+    t = _img_corpus(spark).select("image_id", "bytes", "fmt", "phash")
+    hashed = (t.select("image_id", "bytes", "fmt")
+               .mapInPandas(kernel,
+                            "image_id string, phash_up long, "
+                            "phash_down long"))
+    return (hashed.join(t.select("image_id", "phash"), "image_id")
+                  .select("image_id", "phash_up", "phash_down",
+                          ((F.col("phash_up") == F.col("phash"))
+                           & (F.col("phash_down") == F.col("phash")))
+                          .alias("scale_invariant")))
+
+
+def _sql_img_resize() -> str:
+    return f"""
+SELECT image_id, phash AS phash_up, phash AS phash_down,
+       true AS scale_invariant
+FROM read_parquet('{_IMG_CORPUS_FIXTURE}')
+"""
+
+
+# -- audio windowed features (multimodal brief op) ----------------------------
+# Exact-arithmetic windowed feature extraction over real PCM16 bytes
+# (functions/audio.py).  The fixture waveform is the closed-form integer
+# sawtooth x(c, i) = ((i·(c+3)) mod 2048) − 1024, so the DuckDB oracle
+# regenerates every sample from generate_series and must agree bit-for-bit
+# on the integer features (sum_sq/peak/zcr) and on rms (sqrt of an
+# identical integer ratio with a power-of-two denominator).
+
+_AUDIO_FIXTURE = "/tmp/spark_graft_audio_corpus_v1.parquet"
+_AUDIO_CLIPS = 40
+_AUDIO_SAMPLES = 1024
+
+
+def _ensure_audio_fixture() -> str:
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions import audio as aud_m
+
+    if os.path.exists(_AUDIO_FIXTURE):
+        return _AUDIO_FIXTURE
+    rows = {k: [] for k in ("audio_id", "bytes", "sr", "n_samples", "fmt")}
+    i = np.arange(_AUDIO_SAMPLES, dtype=np.int64)
+    for c in range(_AUDIO_CLIPS):
+        x = ((i * (c + 3)) % 2048 - 1024).astype(np.int16)
+        rows["audio_id"].append(f"aud{c:03d}")
+        rows["bytes"].append(aud_m.encode_audio(x, sr=16000))
+        rows["sr"].append(16000)
+        rows["n_samples"].append(_AUDIO_SAMPLES)
+        rows["fmt"].append("pcm16")
+    schema = pa.schema([("audio_id", pa.string()), ("bytes", pa.binary()),
+                        ("sr", pa.int32()), ("n_samples", pa.int32()),
+                        ("fmt", pa.string())])
+    tmp = _AUDIO_FIXTURE + ".tmp"
+    pq.write_table(pa.table(rows, schema=schema), tmp)
+    os.replace(tmp, _AUDIO_FIXTURE)  # atomic vs concurrent builders
+    return _AUDIO_FIXTURE
+
+
+def q_audio_features(spark, sf_dir):
+    """Audio feature extraction (brief op): decode PCM16 binary columns,
+    256-sample windows → exact integer sum_sq / peak / zcr + derived rms,
+    one Arrow pass via mapInPandas, no shuffle.  At 10^10 clips the scan
+    parallelizes by file split; window features never cross rows, so the
+    kernel holds ONE clip's samples at a time."""
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    from ..functions import audio as aud_m
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {"audio_id": [], "win": [], "sum_sq": [], "peak": [],
+                   "zcr": [], "rms": []}
+            for aid, buf, fmt in zip(pdf["audio_id"], pdf["bytes"],
+                                     pdf["fmt"]):
+                _, x = aud_m.decode_audio(buf, fmt)
+                for w, sum_sq, peak, zcr, rms in aud_m.window_features(x):
+                    out["audio_id"].append(aid)
+                    out["win"].append(w)
+                    out["sum_sq"].append(sum_sq)
+                    out["peak"].append(peak)
+                    out["zcr"].append(zcr)
+                    out["rms"].append(rms)
+            if out["audio_id"]:  # empty object-dtype frames break Arrow
+                yield pd.DataFrame(out)
+
+    t = spark.read.parquet(_ensure_audio_fixture())
+    return (t.select("audio_id", "bytes", "fmt")
+             .mapInPandas(kernel,
+                          "audio_id string, win long, sum_sq long, "
+                          "peak long, zcr long, rms double"))
+
+
+def _sql_audio_features() -> str:
+    from ..functions import audio as aud_m
+
+    win = aud_m.WINDOW  # shared constant — the two engines cannot drift
+    return f"""
+WITH s AS (
+  SELECT c.c AS clip, i.i AS i,
+         ((i.i * (c.c + 3)) % 2048) - 1024 AS x
+  FROM generate_series(0, {_AUDIO_CLIPS - 1}) c(c)
+  CROSS JOIN generate_series(0, {_AUDIO_SAMPLES - 1}) i(i)
+), w AS (
+  SELECT clip, i // {win} AS win, x, i % {win} AS j,
+         lag(x) OVER (PARTITION BY clip ORDER BY i) AS px
+  FROM s
+)
+SELECT 'aud' || lpad(clip::VARCHAR, 3, '0') AS audio_id,
+       win::BIGINT AS win,
+       sum(x * x)::BIGINT AS sum_sq,
+       max(abs(x))::BIGINT AS peak,
+       sum(CASE WHEN j > 0 AND px * x < 0 THEN 1 ELSE 0 END)::BIGINT AS zcr,
+       round(sqrt(sum(x * x) / {win}.0), 4) AS rms
+FROM w GROUP BY clip, win
+"""
+
+
 # -- sketch ops: Arrow-UDF kernels on the Spark side, exact DuckDB twins -----
 # The kernels (functions/text.py) were designed SQL-portable: polynomial
 # folds mod Mersenne primes that DuckDB reproduces bit-for-bit with
@@ -2129,6 +2383,9 @@ QUERIES = {
     "img_near_dup_pairs": q_img_near_dup_pairs,
     "img_dup_groups": q_img_dup_groups,
     "img_caption_conflicts": q_img_caption_conflicts,
+    "video_frame_sample": q_video_frame_sample,
+    "img_resize": q_img_resize,
+    "audio_features": q_audio_features,
     "sample_split": q_sample_split,
     "repetition_score": q_repetition_score,
     "fingerprint64": q_fingerprint64,
@@ -2199,6 +2456,16 @@ def oracles() -> dict[str, str]:
         "img_near_dup_pairs": _sql_img_near_dup(),
         "img_dup_groups": _sql_img_dup_groups(),
         "img_caption_conflicts": _sql_img_caption_conflicts(),
+        # video: Spark decodes real rawv containers; the oracle derives the
+        # expected sampled-frame phashes from the image fixture the frames
+        # were packed from — the sides meet only at the values
+        "video_frame_sample": _sql_video_frame_sample(),
+        # resize: both resizes provably preserve the fixture's phash, so
+        # the oracle is the stored column (kernels drive the Spark side)
+        "img_resize": _sql_img_resize(),
+        # audio: the oracle regenerates the closed-form sawtooth samples
+        # and must match the byte-decoding kernel's exact integer features
+        "audio_features": _sql_audio_features(),
         "sample_split": _sql_sample_split(),
         "repetition_score": _sql_repetition(),
     }

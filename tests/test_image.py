@@ -88,3 +88,37 @@ def test_phash_batch():
     )
     assert s[0] == image.average_hash(a)
     assert pd.isna(s[1])
+
+
+def test_resize_nearest_manual():
+    img = _img(h=10, w=14, seed=5)
+    out = image.resize_nearest(img, 25, 7)
+    assert out.shape == (25, 7, 3)
+    for i in range(25):
+        for j in range(7):
+            assert np.array_equal(out[i, j], img[(i * 10) // 25,
+                                                 (j * 14) // 7])
+
+
+def test_resize_box_mean_exact():
+    img = _img(h=12, w=8, seed=6)
+    out = image.resize_box_mean(img, 4)
+    assert out.shape == (3, 2, 3)
+    for i in range(3):
+        for j in range(2):
+            block = img[i * 4:(i + 1) * 4, j * 4:(j + 1) * 4].astype(int)
+            assert np.array_equal(out[i, j],
+                                  block.reshape(16, 3).sum(0) // 16)
+
+
+def test_resize_preserves_phash_on_block_mosaic():
+    """The fixture-family invariant the img_resize oracle pins: uniform
+    2x2-block mosaics keep their average-hash under NN 2x upscale and
+    factor-2 box-mean downscale."""
+    rs = np.random.RandomState(8)
+    pat = rs.randint(0, 2, size=(8, 8)).astype(np.uint8)
+    gray = (np.kron(pat, np.ones((2, 2), dtype=np.uint8)) * 150 + 50)
+    img = np.stack([gray.astype(np.uint8)] * 3, axis=2)
+    base = image.average_hash(img)
+    assert image.average_hash(image.resize_nearest(img, 32, 32)) == base
+    assert image.average_hash(image.resize_box_mean(img, 2)) == base

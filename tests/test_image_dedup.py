@@ -157,3 +157,12 @@ def test_caption_conflicts(spark):
                  dq.q_img_caption_conflicts(spark, "").collect())
     assert got == want
     assert len(got) > 0  # the fixture plants conflicting-caption groups
+
+
+def test_img_resize_query_invariant(spark):
+    rows = dq.q_img_resize(spark, "").collect()
+    assert len(rows) == 4 * dq._IMG_GROUPS
+    ph = dict(zip(_corpus()["image_id"], _corpus()["phash"]))
+    for r in rows:
+        assert r["scale_invariant"] is True
+        assert r["phash_up"] == r["phash_down"] == int(ph[r["image_id"]])
