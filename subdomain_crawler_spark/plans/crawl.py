@@ -369,6 +369,18 @@ class CrawlEngine:
                    .select(F.lower("line").alias("seed")))
         prefixes = core.merged_prefixes(list(cfg.custom_prefixes)) \
             if cfg.expand_sld else []
+        # expander-key soundness guard (psl.wildcard_subtree_parent_one's
+        # residual case): a wildcard parent whose leading label is an
+        # expansion prefix AND whose own parent is a free-standing SLD
+        # cannot be colocated by any host-derived key — refuse up front
+        # rather than silently risk cross-partition duplicate hosts.
+        from ..functions import psl as _psl
+        bad = _psl.prefix_collision_parents(prefixes)
+        if bad:
+            raise ValueError(
+                "custom/common expansion prefixes collide with wildcard "
+                f"PSL parents {bad}: seed expansion cannot guarantee "
+                "global dedup for these; drop the colliding prefix(es)")
         # one tiny shuffle of the SEED list (not the ~134× expanded set):
         # hash-partition by core.expand_partition_key(seed) — wildcard-
         # parent subtrees collapse to one key, else coalesce(get_root,
@@ -437,6 +449,30 @@ class CrawlEngine:
     def resume_round(self) -> int:
         """Next round to run: 0 on a fresh dir, committed+1 after a crash/stop."""
         return self.io.committed_round() + 1
+
+    def dedup_documents(self, docs: DataFrame,
+                        bucket_cap: int = 10_000) -> DataFrame:
+        """Production near-dup pass over a (doc_id, text) corpus run as
+        part of a crawl workflow (e.g. deduping fetched pages before
+        export): the composed fingerprint→LSH→CC pipeline from
+        plans/driver_queries.dedup_pipeline_run, with its star-expansion
+        cap telemetry appended to this engine's checkpoint as the
+        ``dedup_metrics`` table (same schema as q_lsh_cap_stats) under
+        the round the dedup ran after — the telemetry rides the
+        pipeline's own action, so recording it costs ZERO extra scans
+        (closes the round-6→8 ask chain: the Observation existed but no
+        engine path persisted it)."""
+        from .driver_queries import dedup_pipeline_run
+
+        labels, metrics = dedup_pipeline_run(docs, bucket_cap=bucket_cap)
+        rnd = max(self.io.committed_round(), 0)
+        self.io.append_local(
+            "dedup_metrics",
+            pd.DataFrame([{k: int(metrics[k]) for k in
+                           ("bucket_cap", "capped_buckets",
+                            "star_edges", "dropped_pairs")}]),
+            rnd)
+        return labels
 
     def run(self, seeds: list[str] | DataFrame | None = None,
             max_rounds: int = 64, progress=None) -> list[RoundStats]:

@@ -1331,7 +1331,10 @@ def _ensure_payload_fixture() -> str:
         rows["ref_bytes"].append(img_m.encode_image(ref, "raw"))
         rows["ref_fmt"].append("raw")
         rows["ref_caption"].append(cap)
-    tmp = _PAYLOAD_FIXTURE + ".tmp"
+    # unique tmp name per builder process: concurrent builders (pytest
+    # workers, parallel driver+test run) must not interleave writes to one
+    # tmp file and atomically install a corrupt parquet (round-8 ADVICE)
+    tmp = f"{_PAYLOAD_FIXTURE}.{os.getpid()}.tmp"
     pq.write_table(pa.table(rows), tmp)
     os.replace(tmp, _PAYLOAD_FIXTURE)  # atomic vs concurrent builders
     return _PAYLOAD_FIXTURE
@@ -1499,7 +1502,9 @@ def _ensure_img_corpus_fixture() -> str:
                         ("w", pa.int32()), ("h", pa.int32()),
                         ("fmt", pa.string()), ("caption", pa.string()),
                         ("phash", pa.int64())])
-    tmp = _IMG_CORPUS_FIXTURE + ".tmp"
+    # unique tmp per process: concurrent builders must not interleave
+    # writes to one tmp file and install a corrupt parquet (round-8 ADVICE)
+    tmp = f"{_IMG_CORPUS_FIXTURE}.{os.getpid()}.tmp"
     pq.write_table(pa.table(rows, schema=schema), tmp)
     os.replace(tmp, _IMG_CORPUS_FIXTURE)  # atomic vs concurrent builders
     return _IMG_CORPUS_FIXTURE
@@ -1679,7 +1684,9 @@ def _ensure_video_fixture() -> str:
                         ("w", pa.int32()), ("h", pa.int32()),
                         ("n_frames", pa.int32()), ("fps", pa.int32()),
                         ("fmt", pa.string())])
-    tmp = _VIDEO_FIXTURE + ".tmp"
+    # unique tmp per process: concurrent builders must not interleave
+    # writes to one tmp file and install a corrupt parquet (round-8 ADVICE)
+    tmp = f"{_VIDEO_FIXTURE}.{os.getpid()}.tmp"
     pq.write_table(pa.table(rows, schema=schema), tmp)
     os.replace(tmp, _VIDEO_FIXTURE)  # atomic vs concurrent builders
     return _VIDEO_FIXTURE
@@ -1819,7 +1826,9 @@ def _ensure_audio_fixture() -> str:
     schema = pa.schema([("audio_id", pa.string()), ("bytes", pa.binary()),
                         ("sr", pa.int32()), ("n_samples", pa.int32()),
                         ("fmt", pa.string())])
-    tmp = _AUDIO_FIXTURE + ".tmp"
+    # unique tmp per process: concurrent builders must not interleave
+    # writes to one tmp file and install a corrupt parquet (round-8 ADVICE)
+    tmp = f"{_AUDIO_FIXTURE}.{os.getpid()}.tmp"
     pq.write_table(pa.table(rows, schema=schema), tmp)
     os.replace(tmp, _AUDIO_FIXTURE)  # atomic vs concurrent builders
     return _AUDIO_FIXTURE
@@ -2309,8 +2318,17 @@ def dedup_pipeline_run(d: DataFrame,
     repmap.unpersist()
     free_checkpoint_blocks(labels)
     # connected_components ran the action (edges.count) — obs.get returns
-    # immediately; empty overflow branch → nulls → zeros
-    got = obs.get
+    # immediately; empty overflow branch → nulls → zeros.  When the WHOLE
+    # pair graph is empty (a corpus chunk with no near-dups at all), AQE's
+    # empty-relation propagation can replace the overflow subtree with an
+    # EmptyRelation and prune the CollectMetrics node outright — then the
+    # JVM-side get returns no row and toPyRow raises.  That pruning can
+    # only happen when zero rows flowed through the cap branch, so the
+    # truthful telemetry is all-zeros.
+    try:
+        got = obs.get
+    except Exception:  # Py4JJavaError — metrics node pruned (empty graph)
+        got = {"capped_buckets": 0, "star_edges": 0, "dropped_pairs": 0}
     metrics = {"bucket_cap": bucket_cap,
                "capped_buckets": int(got["capped_buckets"] or 0),
                "star_edges": int(got["star_edges"] or 0),

@@ -41,26 +41,43 @@ def _best_of(fn, n=3) -> float:
     return best
 
 
-def test_fingerprint64_throughput(docs):
+def _load_factor() -> float:
+    """Contention-scaled widening for the wall-clock floors (round-8
+    ADVICE: absolute floors can flake on a loaded shared box).  Times a
+    fixed C-speed numpy op; if the box runs it slower than the generous
+    0.02 s reference, every floor widens by the same factor (capped 20×)
+    — scheduler noise hits calibration and kernel alike, while a per-row
+    Python loop regression (20–100× over the floor) still fires."""
+    a = np.random.RandomState(0).randn(512, 512)
+    sec = _best_of(lambda: a @ a, n=3)
+    return min(20.0, max(1.0, sec / 0.02))
+
+
+@pytest.fixture(scope="module")
+def load() -> float:
+    return _load_factor()
+
+
+def test_fingerprint64_throughput(docs, load):
     sec = _best_of(lambda: text.fingerprint64(docs))
-    assert sec < 1.0, f"fingerprint64: {sec:.2f}s for {N_DOCS} docs"
+    assert sec < 1.0 * load, f"fingerprint64: {sec:.2f}s for {N_DOCS} docs"
 
 
-def test_simhash_throughput(docs):
+def test_simhash_throughput(docs, load):
     sec = _best_of(lambda: text.simhash64_batch(docs))
-    assert sec < 2.0, f"simhash64_batch: {sec:.2f}s for {N_DOCS} docs"
+    assert sec < 2.0 * load, f"simhash64_batch: {sec:.2f}s for {N_DOCS} docs"
 
 
-def test_minhash_throughput(docs):
+def test_minhash_throughput(docs, load):
     sec = _best_of(lambda: text.minhash_signatures(docs))
-    assert sec < 5.0, f"minhash_signatures: {sec:.2f}s for {N_DOCS} docs"
+    assert sec < 5.0 * load, f"minhash_signatures: {sec:.2f}s for {N_DOCS} docs"
 
 
-def test_fnv64_throughput():
+def test_fnv64_throughput(load):
     hosts = pd.Series([f"sub{i}.www{i % 7}.example{i % 100}.com"
                        for i in range(50_000)])
     sec = _best_of(lambda: fnv64(hosts))
-    assert sec < 1.5, f"fnv64: {sec:.2f}s for 50k hosts"
+    assert sec < 1.5 * load, f"fnv64: {sec:.2f}s for 50k hosts"
 
 
 def test_envelope_tripwire_logic():
@@ -93,7 +110,7 @@ def test_envelope_tripwire_logic():
     assert "crawl" in bench.ENVELOPE
 
 
-def test_ivf_argmax_throughput():
+def test_ivf_argmax_throughput(load):
     """The IVF large-k Arrow kernel (an Arrow batch of 2048 rows against a
     k=4096 centroid matrix at d=64) must stay vectorized-numpy speed —
     measured ~1.0 s steady-state on this box with the cache-blocked exact
@@ -106,4 +123,4 @@ def test_ivf_argmax_throughput():
     M = rng.randn(2048, 64).astype(np.float32)
     C = rng.randn(4096, 64).astype(np.float32)
     sec = _best_of(lambda: np.argmax(_ivf_scores_np(M, C), axis=1), n=2)
-    assert sec < 5.0, f"ivf argmax kernel: {sec:.2f}s for 2048x4096x64"
+    assert sec < 5.0 * load, f"ivf argmax kernel: {sec:.2f}s for 2048x4096x64"
