@@ -108,6 +108,22 @@ def test_envelope_tripwire_logic():
     missing = [q for q in bench.HEADLINE if q not in bench.ENVELOPE]
     assert missing == []
     assert "crawl" in bench.ENVELOPE
+    # provisional (locally-seeded) rows are tagged in the tripwire output
+    # (round-8 ADVICE) and must actually exist in the envelope
+    assert bench.ENVELOPE_PROVISIONAL <= set(bench.ENVELOPE)
+    prov = sorted(bench.ENVELOPE_PROVISIONAL)[0]
+    hit = bench.check_envelope({prov: bench.ENVELOPE[prov] * 10})
+    assert hit[0]["provisional"] is True
+    # every driver-contract query is either headline-guarded or explicitly
+    # exempt WITH a reason (round-8 VERDICT ask #2: no silent gaps)
+    from subdomain_crawler_spark.plans import driver_queries as dq
+    guarded = set(bench.HEADLINE) | set(bench.HEADLINE_EXEMPT)
+    assert set(dq.QUERIES) <= guarded, sorted(set(dq.QUERIES) - guarded)
+    assert not set(bench.HEADLINE) & set(bench.HEADLINE_EXEMPT)
+    assert all(isinstance(r, str) and len(r) > 10
+               for r in bench.HEADLINE_EXEMPT.values())
+    # exempt names must be real queries (a renamed query can't hide here)
+    assert set(bench.HEADLINE_EXEMPT) <= set(dq.QUERIES)
 
 
 def test_ivf_argmax_throughput(load):

@@ -57,3 +57,28 @@ def test_frame_sample_query_matches_image_fixture(spark):
                  dq.q_video_frame_sample(spark, "").collect())
     assert got == want
     assert len(got) == len(imgs) // dq._VIDEO_STRIDE
+
+
+def test_video_near_dup_pairs_and_rejects(spark):
+    """q_video_near_dup composes frame sampling into the MIH near-dup
+    operator (round-8 VERDICT ask #5).  Design: video triple (3p, 3p+1,
+    3p+2) carries group bases / 2-flip members / 4-flip members at the
+    sampled positions — so exactly (3p, 3p+1) is a true near-dup pair
+    (both sampled frames within Hamming 3), while every pair involving
+    3p+2 band-collides (an MIH candidate) but sits ≥ 4 away and must be
+    rejected by the confirm filter."""
+    from subdomain_crawler_spark.plans import driver_queries as dq
+
+    got = {(r["left_video"], r["right_video"]):
+           (r["n_frame_pairs"], r["min_dist"])
+           for r in dq.q_video_near_dup(spark, "").collect()}
+    n_triples = dq._VIDEO_ND_VIDEOS // 3
+    want_keys = {(f"vidnd{3*p:03d}", f"vidnd{3*p+1:03d}")
+                 for p in range(n_triples)}
+    assert set(got) == want_keys
+    for (lv, rv), (n, d) in got.items():
+        assert n == dq._VIDEO_ND_FRAMES // dq._VIDEO_STRIDE  # both samples
+        assert 0 < d <= dq._IMG_RADIUS
+    # reject videos (role 2) never appear on either side
+    rejects = {f"vidnd{v:03d}" for v in range(2, dq._VIDEO_ND_VIDEOS, 3)}
+    assert not any(lv in rejects or rv in rejects for lv, rv in got)
