@@ -2164,6 +2164,37 @@ def q_simhash64(spark, sf_dir):
     return d.select("doc_id", udfs.udf_simhash64("text").alias("simhash"))
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-duplicate pairs over documents — the Manku et al.
+    (WWW'07) web-dedup shape: 64-bit Charikar simhash, Hamming radius 3,
+    candidates via the SAME 4×16-bit multi-index-hashing band join +
+    ``bit_count(xor)`` confirm the image/video pipelines use
+    (_img_band_pairs is fingerprint-agnostic: ONE MIH operator serves
+    text simhash, image phash, and sampled video-frame phash).  Scale
+    shape: banded equi-self-join partitioned by (band, value), nothing
+    all-pairs; hot buckets take the image pipeline's capped star
+    expansion.  The brute-force oracle reuses the simhash recomputation
+    CTE, so both the sketch AND the pair decomposition are independently
+    recomputed."""
+    d = _docs_wide(spark, sf_dir)
+    sh = d.select("doc_id", udfs.udf_simhash64("text").alias("simhash"))
+    pairs = _img_band_pairs(
+        sh.select(F.col("doc_id").alias("image_id"),
+                  F.col("simhash").alias("phash")))
+    return pairs.select(F.col("left_id").alias("left_doc"),
+                        F.col("right_id").alias("right_doc"), "dist")
+
+
+def _sql_simhash_near_dup() -> str:
+    return f"""
+WITH sh AS ({_sql_simhash()})
+SELECT a.doc_id AS left_doc, b.doc_id AS right_doc,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS dist
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_IMG_RADIUS}
+"""
+
+
 def _sql_simhash() -> str:
     csums = ", ".join(f"sum(((h >> {i}) & 1)::BIGINT) AS c{i}" for i in range(61))
     packed = " + ".join(f"CASE WHEN 2*c{i} > n THEN {1 << i} ELSE 0 END"
@@ -2586,6 +2617,7 @@ QUERIES = {
     "fingerprint64": q_fingerprint64,
     "minhash_signature": q_minhash_signature,
     "simhash64": q_simhash64,
+    "simhash_near_dup": q_simhash_near_dup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "lsh_cap_stats": q_lsh_cap_stats,
     "dedup_groups": q_dedup_groups,
@@ -2633,6 +2665,7 @@ def oracles() -> dict[str, str]:
         "fingerprint64": SQL_FINGERPRINT,
         "minhash_signature": _sql_minhash(),
         "simhash64": _sql_simhash(),
+        "simhash_near_dup": _sql_simhash_near_dup(),
         "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
         "lsh_cap_stats": _sql_lsh_cap_stats(),
         "dedup_groups": _sql_dedup_groups(),

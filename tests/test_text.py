@@ -260,3 +260,47 @@ def test_ann_ivf_invariants(spark):
                   key=lambda t: (-t[2], t[0]))[:dq._IVF_TOPK]
     assert [(r["vec_id"], r["cell"], r["cos_sim"]) for r in got] == [
         (v, c, pytest.approx(s, abs=2e-4)) for v, c, s in want]
+
+
+def test_simhash_near_dup_matches_brute_force(spark, tmp_path):
+    """q_simhash_near_dup (the Manku-style simhash Hamming-3 web dedup,
+    round 9) must equal the numpy brute force exactly: the fingerprint-
+    agnostic MIH operator generates a candidate superset per band and the
+    bit_count confirm trims it to precisely the ≤-radius set.  The corpus
+    is crafted so true pairs exist (exact dup → dist 0; light token edits
+    over a long shared body → small nonzero dists) alongside unrelated
+    docs the confirm must reject."""
+    import numpy as np
+    import pandas as pd
+
+    from subdomain_crawler_spark.plans.driver_queries import (
+        _IMG_RADIUS, q_simhash_near_dup)
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "archive mirror indexes research dataset papers daily") * 3
+    docs = {
+        "d00": base,
+        "d01": base,                       # exact dup: dist 0
+        "d02": base + " extra",            # near dup: tiny token delta
+        "d03": base.replace("fox", "cat"),
+        "d04": "completely different words about spark shuffles and "
+               "partitions and adaptive execution plans " * 3,
+        "d05": "yet another unrelated document on audio codecs and "
+               "pcm sixteen bit waveform windows " * 3,
+    }
+    pdf = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    spark.createDataFrame(pdf).write.parquet(
+        str(tmp_path / "documents.parquet"))
+
+    sh = text.simhash64_batch(pdf["text"]).to_numpy(dtype=np.int64)
+    want = set()
+    for i in range(len(pdf)):
+        for j in range(i + 1, len(pdf)):
+            d = bin(int(sh[i]) ^ int(sh[j])).count("1")
+            if d <= _IMG_RADIUS:
+                a, b = sorted((pdf["doc_id"][i], pdf["doc_id"][j]))
+                want.add((a, b, d))
+    assert any(d == 0 for *_, d in want)   # the exact dup is in there
+    got = {(r["left_doc"], r["right_doc"], r["dist"])
+           for r in q_simhash_near_dup(spark, str(tmp_path)).collect()}
+    assert got == want
