@@ -65,9 +65,12 @@ HEADLINE = [
     "payload_validate",
     "img_near_dup_pairs", "img_dup_groups", "img_caption_conflicts",
     "emb_near_dup_pairs",
-    "video_frame_sample", "video_near_dup", "img_resize", "audio_features",
+    "video_frame_sample", "video_near_dup", "video_scene_cuts",
+    "img_resize", "img_stats", "audio_features",
+    "quality_filter",
     "sessionize", "sample_split", "repetition_score", "fingerprint64",
-    "simhash64", "minhash_lsh_pairs", "lsh_cap_stats", "dedup_groups",
+    "simhash64", "simhash_near_dup",
+    "minhash_lsh_pairs", "lsh_cap_stats", "dedup_groups",
     "dedup_pipeline",
 ]
 
@@ -136,6 +139,8 @@ ENVELOPE = {
     # listed in ENVELOPE_PROVISIONAL so the tripwire reports them as such
     "emb_near_dup_pairs": 2.101,
     "video_frame_sample": 0.463, "video_near_dup": 1.237,
+    "video_scene_cuts": 0.546, "img_stats": 0.302, "quality_filter": 0.374,
+    "simhash_near_dup": 2.156,
     "img_resize": 1.048, "audio_features": 0.396,
     "sessionize": 0.885, "sample_split": 0.211,
     "repetition_score": 0.185, "fingerprint64": 0.198, "simhash64": 0.192,
@@ -147,6 +152,7 @@ ENVELOPE = {
 # say so) — refresh from the next BENCH_r{N}.json and drain this set.
 ENVELOPE_PROVISIONAL = {
     "emb_near_dup_pairs", "video_frame_sample", "video_near_dup",
+    "video_scene_cuts", "img_stats", "quality_filter", "simhash_near_dup",
     "img_resize", "audio_features",
 }
 ENVELOPE_NOISE_FACTOR = 3.0

@@ -563,6 +563,103 @@ FROM g
 """
 
 
+# -- composed training-data quality filter -----------------------------------
+
+_QF_MIN_TOKENS = 20    # Gopher-style min length
+_QF_MIN_QUALITY = 0.02  # min en-stopword ratio (C4-style heuristic)
+_QF_MAX_REP = 0.05     # max duplicate-3-gram fraction (Rae et al. §A1.1)
+
+
+def q_quality_filter(spark, sf_dir):
+    """THE composed pass an LLM training pipeline runs before tokenizing:
+    exact-dup keeper + language gate + length gate + stopword-ratio gate +
+    repetition gate, fused into ONE scan with first-failing-rule reasons
+    (duplicate → non_english → too_short → low_quality → repetitive →
+    kept).  Reuses the exact expressions of dedup_exact / lang_id /
+    token_count / quality_score / repetition_score — each independently
+    hash-green — so this pins their COMPOSITION, and the oracle composes
+    the same five oracle CTEs.  100 TB shape: every gate is a per-row JVM
+    expression in one whole-stage-codegen pass over the scan; the only
+    shuffle is the dedup window's hash partition by key (the same shuffle
+    dedup_exact pays), after which the verdict expression is free."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    n = F.size(toks)
+    key = F.array_join(F.slice(toks, 1, 3), " ")
+    sw_en = list(text_k.STOPWORDS["en"])
+    quality = F.round(
+        F.size(F.filter(toks, lambda t: t.isin(sw_en))).cast("double")
+        / F.greatest(n, F.lit(1)), 4)
+    grams = F.when(
+        n >= 3,
+        F.transform(F.sequence(F.lit(1), n - F.lit(2)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    rep = F.when(
+        total > 0,
+        F.round(F.lit(1.0)
+                - F.size(F.array_distinct(grams)).cast("double") / total, 4)
+    ).otherwise(F.lit(0.0))
+
+    def _hit(lang):
+        sw = list(text_k.STOPWORDS[lang])
+        return F.size(F.filter(toks, lambda t: t.isin(sw)))
+
+    base = d.select("doc_id", key.alias("key"), n.alias("n_tokens"),
+                    quality.alias("quality"), rep.alias("rep"),
+                    *[_hit(x).alias(f"h_{x}") for x in _LANGS])
+    lang = (
+        F.when((F.col("h_de") >= F.greatest("h_en", "h_es", "h_fr"))
+               & (F.col("h_de") > 0), "de")
+        .when((F.col("h_en") >= F.greatest("h_es", "h_fr"))
+              & (F.col("h_en") > 0), "en")
+        .when((F.col("h_es") >= F.col("h_fr")) & (F.col("h_es") > 0), "es")
+        .when(F.col("h_fr") > 0, "fr")
+        .otherwise("und"))
+    keeper = F.min("doc_id").over(Window.partitionBy("key"))
+    scored = base.select("doc_id", "n_tokens", "quality", "rep",
+                         lang.alias("lang_pred"), keeper.alias("keeper"))
+    reason = (
+        F.when(F.col("doc_id") != F.col("keeper"), "duplicate")
+        .when(F.col("lang_pred") != "en", "non_english")
+        .when(F.col("n_tokens") < _QF_MIN_TOKENS, "too_short")
+        .when(F.col("quality") < _QF_MIN_QUALITY, "low_quality")
+        .when(F.col("rep") > _QF_MAX_REP, "repetitive")
+        .otherwise("kept"))
+    return scored.select("doc_id", reason.alias("reason"),
+                         (reason == "kept").alias("keep"))
+
+
+def _sql_quality_filter() -> str:
+    """Composes the five standalone oracle CTEs verbatim — the SQL twins
+    cannot drift from their single-op forms."""
+    return f"""
+WITH lang AS ({_sql_lang_id()}),
+tok AS ({SQL_TOKEN_COUNT}),
+q AS ({_sql_quality()}),
+rep AS ({_sql_repetition()}),
+dup AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY array_to_string(
+             regexp_split_to_array(trim(text), '\\s+')[1:3], ' ')) AS keeper
+  FROM documents
+), verdict AS (
+  SELECT d.doc_id,
+    CASE WHEN d.doc_id <> dup.keeper THEN 'duplicate'
+         WHEN lang.lang_pred <> 'en' THEN 'non_english'
+         WHEN tok.n_tokens < {_QF_MIN_TOKENS} THEN 'too_short'
+         WHEN q.quality < {_QF_MIN_QUALITY} THEN 'low_quality'
+         WHEN rep.dup_3gram_frac > {_QF_MAX_REP} THEN 'repetitive'
+         ELSE 'kept' END AS reason
+  FROM documents d
+  JOIN lang USING (doc_id) JOIN tok USING (doc_id) JOIN q USING (doc_id)
+  JOIN rep USING (doc_id) JOIN dup USING (doc_id)
+)
+SELECT doc_id, reason, reason = 'kept' AS keep FROM verdict
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup scoring on adjacent doc pairs (the scalable
     all-pairs form is LSH-bucketed; this pins the pair-metric semantics)."""
@@ -1866,6 +1963,130 @@ GROUP BY 1, 2
 """
 
 
+# -- video scene cuts (temporal delta over the frame-hash kernel) ------------
+
+
+_SCENE_CUT_T = 7  # ND fixture: intra-scene member distances are ≤ 6 by design
+
+
+def q_video_scene_cuts(spark, sf_dir):
+    """Scene-cut detection: per-frame phash (stride-1 sampling — every
+    frame decoded) → window ``lag`` per video → Hamming distance between
+    consecutive frames → cut where dist ≥ threshold.  The ND fixture's
+    frame layout makes this meaningful: frames 0-3 / 4-7 of each video are
+    members of ONE image group each (intra-scene deltas provably ≤ 6:
+    member flip sets are ≤ 2 bits in [0,32) and 4 bits in [32,64), so the
+    widest member pair is 2+4 = 6), while the j=3→4 boundary crosses
+    groups (base separation ≥ 12).  Threshold 7 therefore never fires
+    inside a scene; boundary rows fire when the member algebra leaves
+    ≥ 7 of the inter-group distance (role 0 rows provably do: ≥ 12−4 = 8).
+    Scale shape: no-shuffle decode scan → ONE hash-partition by video_id
+    for the window (frames per video bounded) — the standard temporal
+    operator a video training pipeline runs before frame dedup."""
+    frames = _sampled_frame_hashes(
+        spark.read.parquet(_ensure_video_nd_fixture()), stride=1)
+    w = Window.partitionBy("video_id").orderBy("frame_idx")
+    prev = F.lag("phash").over(w)
+    dist = F.bit_count(prev.bitwiseXOR(F.col("phash"))).cast("long")
+    return (frames.select("video_id", "frame_idx", dist.alias("dist"))
+                  .filter(F.col("dist").isNotNull())
+                  .withColumn("is_cut", F.col("dist") >= _SCENE_CUT_T))
+
+
+def _sql_video_scene_cuts() -> str:
+    """Brute-force twin: regenerate EVERY frame's phash from the image
+    fixture via the full (video, frame) → (group, member) layout formula
+    (sampled AND unsampled positions — stride 1 touches them all), then
+    the same lag-window Hamming delta."""
+    return f"""
+WITH imgs AS (
+  SELECT CAST(substring(image_id, 3) AS INT) AS idx, phash
+  FROM read_parquet('{_IMG_CORPUS_FIXTURE}')
+), frames AS (
+  SELECT 'vidnd' || lpad(v.v::VARCHAR, 3, '0') AS video_id,
+         j.j AS frame_idx, i.phash
+  FROM (SELECT unnest(generate_series(0, {_VIDEO_ND_VIDEOS - 1})) AS v) v
+  CROSS JOIN (SELECT unnest(generate_series(0, {_VIDEO_ND_FRAMES - 1}))
+              AS j) j
+  JOIN imgs i
+    ON i.idx = 4 * (4 * (v.v // 3) + j.j // {_VIDEO_STRIDE})
+               + CASE WHEN j.j % {_VIDEO_STRIDE} = 0
+                      THEN CASE v.v % 3 WHEN 0 THEN 0 WHEN 1 THEN 2
+                           ELSE 3 END
+                      ELSE j.j % 4 END
+), lagged AS (
+  SELECT video_id, frame_idx, phash,
+         lag(phash) OVER (PARTITION BY video_id ORDER BY frame_idx) AS prev
+  FROM frames
+)
+SELECT video_id, frame_idx,
+       bit_count(xor(prev, phash))::BIGINT AS dist,
+       bit_count(xor(prev, phash)) >= {_SCENE_CUT_T} AS is_cut
+FROM lagged WHERE prev IS NOT NULL
+"""
+
+
+# -- image stats (per-image pixel statistics, integer-exact) -----------------
+
+
+def q_img_stats(spark, sf_dir):
+    """Per-image pixel statistics over decoded bytes — the image-quality
+    filter pass of a multimodal training pipeline (brightness/contrast
+    gates before dedup): integer-exact n/sum/sum-of-squares/min/max over
+    every channel byte, one Arrow batch pass, no shuffle, one image in
+    memory at a time.  Kept integer (sum/sum_sq instead of mean/variance)
+    so the oracle matches bit-for-bit — the caller derives mean = sum/n
+    and var = (sum_sq − sum²/n)/n.  The DuckDB twin recomputes all five
+    from the DESIGN closed form (the fixture's images are 2×2-block
+    mosaics of exactly two gray levels, 200 for set phash bits and 50 —
+    48 after the lossy codec's 6-bit quantization — for unset, 12 channel
+    bytes per cell), so a broken decode or stat kernel hash-mismatches."""
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    from ..functions import image as img_m
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {"image_id": [], "n_px": [], "sum_px": [],
+                   "sum_sq": [], "min_px": [], "max_px": []}
+            for iid, buf, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                     pdf["fmt"]):
+                a = img_m.decode_image(buf, fmt).astype("int64")
+                out["image_id"].append(iid)
+                out["n_px"].append(int(a.size))
+                out["sum_px"].append(int(a.sum()))
+                out["sum_sq"].append(int((a * a).sum()))
+                out["min_px"].append(int(a.min()))
+                out["max_px"].append(int(a.max()))
+            if out["image_id"]:  # empty object-dtype frames break Arrow
+                yield pd.DataFrame(out)
+
+    return (_img_corpus(spark).select("image_id", "bytes", "fmt")
+            .mapInPandas(kernel,
+                         "image_id string, n_px long, sum_px long, "
+                         "sum_sq long, min_px long, max_px long"))
+
+
+def _sql_img_stats() -> str:
+    """Closed-form recomputation: k = popcount(phash) set cells at gray
+    200, 64−k unset cells at 50 (raw) / 48 (lossy), 12 channel bytes per
+    cell; the fixture guarantees 0 < k < 64 (the builder flips bit 63 of
+    any all-set/all-unset pattern), so min/max are always lo/200."""
+    return f"""
+WITH t AS (
+  SELECT image_id, bit_count(phash)::BIGINT AS k,
+         CASE WHEN fmt = 'lossy' THEN 48 ELSE 50 END::BIGINT AS lo
+  FROM read_parquet('{_IMG_CORPUS_FIXTURE}')
+)
+SELECT image_id,
+       768::BIGINT AS n_px,
+       (12 * (k * 200 + (64 - k) * lo))::BIGINT AS sum_px,
+       (12 * (k * 40000 + (64 - k) * lo * lo))::BIGINT AS sum_sq,
+       lo AS min_px, 200::BIGINT AS max_px
+FROM t
+"""
+
+
 # -- image resize (multimodal brief op) --------------------------------------
 
 
@@ -2618,6 +2839,9 @@ QUERIES = {
     "minhash_signature": q_minhash_signature,
     "simhash64": q_simhash64,
     "simhash_near_dup": q_simhash_near_dup,
+    "video_scene_cuts": q_video_scene_cuts,
+    "img_stats": q_img_stats,
+    "quality_filter": q_quality_filter,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "lsh_cap_stats": q_lsh_cap_stats,
     "dedup_groups": q_dedup_groups,
@@ -2666,6 +2890,9 @@ def oracles() -> dict[str, str]:
         "minhash_signature": _sql_minhash(),
         "simhash64": _sql_simhash(),
         "simhash_near_dup": _sql_simhash_near_dup(),
+        "video_scene_cuts": _sql_video_scene_cuts(),
+        "img_stats": _sql_img_stats(),
+        "quality_filter": _sql_quality_filter(),
         "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
         "lsh_cap_stats": _sql_lsh_cap_stats(),
         "dedup_groups": _sql_dedup_groups(),

@@ -122,3 +122,32 @@ def test_resize_preserves_phash_on_block_mosaic():
     base = image.average_hash(img)
     assert image.average_hash(image.resize_nearest(img, 32, 32)) == base
     assert image.average_hash(image.resize_box_mean(img, 2)) == base
+
+
+def test_img_stats_matches_numpy(spark):
+    """q_img_stats (round 9): integer-exact per-image pixel statistics.
+    Expectation recomputed by decoding every fixture image directly with
+    numpy — independent of the Spark kernel's batching — and the design
+    closed form (12 channel bytes per phash cell at gray 200 / lo) is
+    asserted against the same numbers."""
+    import pyarrow.parquet as pq
+
+    from subdomain_crawler_spark.plans import driver_queries as dq
+
+    t = pq.read_table(dq._ensure_img_corpus_fixture(),
+                      columns=["image_id", "bytes", "fmt", "phash"]
+                      ).to_pandas()
+    want = {}
+    for iid, buf, fmt, ph in zip(t["image_id"], t["bytes"], t["fmt"],
+                                 t["phash"]):
+        a = image.decode_image(buf, fmt).astype(np.int64)
+        want[iid] = (int(a.size), int(a.sum()), int((a * a).sum()),
+                     int(a.min()), int(a.max()))
+        k = bin(int(ph) & ((1 << 64) - 1)).count("1")
+        lo = 48 if fmt == "lossy" else 50
+        assert want[iid] == (768, 12 * (k * 200 + (64 - k) * lo),
+                             12 * (k * 40000 + (64 - k) * lo * lo), lo, 200)
+    got = {r["image_id"]: (r["n_px"], r["sum_px"], r["sum_sq"],
+                           r["min_px"], r["max_px"])
+           for r in dq.q_img_stats(spark, "").collect()}
+    assert got == want

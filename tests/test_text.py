@@ -304,3 +304,46 @@ def test_simhash_near_dup_matches_brute_force(spark, tmp_path):
     got = {(r["left_doc"], r["right_doc"], r["dist"])
            for r in q_simhash_near_dup(spark, str(tmp_path)).collect()}
     assert got == want
+
+
+def test_quality_filter_reasons(spark, tmp_path):
+    """q_quality_filter (round 9): each reject rule fires on its designed
+    doc and the first-failing-rule order is honored.  Stopword-bearing
+    texts are built from the en-only / de-only lists so the language gate
+    is unambiguous."""
+    import pandas as pd
+
+    from subdomain_crawler_spark.plans.driver_queries import q_quality_filter
+
+    filler = [f"w{i:02d}" for i in range(60)]  # unique non-stopword tokens
+    docs = {
+        # kept: en stopwords every 3rd token, 30 tokens, all trigrams unique
+        "d0": " ".join(x for trio in zip(filler[:10], filler[10:20],
+                                         ["the", "of", "and", "to", "in",
+                                          "is", "it", "for", "on", "with"])
+                       for x in trio),
+        # duplicate of d0's first-3-token key (loses the min-id race)
+        "d1": " ".join([filler[0], filler[10], "the"] + filler[20:40]),
+        # german: de-only stopwords dominate
+        "d2": " ".join(["der", "die", "das", "und", "ist", "mit", "ein",
+                        "den"] * 4),
+        # english but short (< 20 tokens)
+        "d3": "the of and to in is it on with for",
+        # english but stopword-starved: 1 hit in 60 tokens = 0.0167 < 0.02
+        "d4": " ".join(["the"] + filler[:59]),
+        # english, long enough, good ratio, but one repeated trigram
+        "d5": " ".join(["the", "cat", "sat"] * 8),
+    }
+    pdf = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    spark.createDataFrame(pdf).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: (r["reason"], r["keep"])
+           for r in q_quality_filter(spark, str(tmp_path)).collect()}
+    assert got == {
+        "d0": ("kept", True),
+        "d1": ("duplicate", False),
+        "d2": ("non_english", False),
+        "d3": ("too_short", False),
+        "d4": ("low_quality", False),
+        "d5": ("repetitive", False),
+    }

@@ -82,3 +82,40 @@ def test_video_near_dup_pairs_and_rejects(spark):
     # reject videos (role 2) never appear on either side
     rejects = {f"vidnd{v:03d}" for v in range(2, dq._VIDEO_ND_VIDEOS, 3)}
     assert not any(lv in rejects or rv in rejects for lv, rv in got)
+
+
+def test_video_scene_cuts_matches_brute_force(spark):
+    """q_video_scene_cuts (round 9): stride-1 frame hashes → lag-window
+    Hamming deltas.  Brute force re-derives every frame's phash from the
+    image fixture via _video_nd_member and recomputes the deltas; the
+    design guarantees intra-scene deltas ≤ 6 (never a cut at threshold 7)
+    and role-0 boundary rows ≥ 8 (always a cut)."""
+    import pyarrow.parquet as pq
+
+    from subdomain_crawler_spark.plans import driver_queries as dq
+
+    imgs = pq.read_table(dq._ensure_img_corpus_fixture(),
+                         columns=["image_id", "phash"]).to_pandas()
+    imgs = imgs.sort_values("image_id").reset_index(drop=True)
+    ph = imgs["phash"].to_numpy()
+
+    want = set()
+    for v in range(dq._VIDEO_ND_VIDEOS):
+        prev = None
+        for j in range(dq._VIDEO_ND_FRAMES):
+            g, m = dq._video_nd_member(v, j)
+            cur = int(ph[4 * g + m])
+            if prev is not None:
+                d = bin((prev ^ cur) & ((1 << 64) - 1)).count("1")
+                want.add((f"vidnd{v:03d}", j, d, d >= dq._SCENE_CUT_T))
+            prev = cur
+    got = {(r["video_id"], r["frame_idx"], r["dist"], r["is_cut"])
+           for r in dq.q_video_scene_cuts(spark, "").collect()}
+    assert got == want
+    assert len(got) == dq._VIDEO_ND_VIDEOS * (dq._VIDEO_ND_FRAMES - 1)
+    for vid, j, d, cut in got:
+        if j % dq._VIDEO_STRIDE != 0:   # intra-scene: same image group
+            assert d <= 6 and not cut
+        elif int(vid[5:]) % 3 == 0:     # role-0 boundary: base vs base
+            assert cut
+    assert any(cut for *_, cut in got) and any(not cut for *_, cut in got)
