@@ -66,7 +66,7 @@ HEADLINE = [
     "img_near_dup_pairs", "img_dup_groups", "img_caption_conflicts",
     "emb_near_dup_pairs",
     "video_frame_sample", "video_near_dup", "video_scene_cuts",
-    "img_resize", "img_stats", "audio_features",
+    "img_resize", "img_stats", "audio_features", "audio_near_dup",
     "quality_filter",
     "sessionize", "sample_split", "repetition_score", "fingerprint64",
     "simhash64", "simhash_near_dup",
@@ -99,6 +99,9 @@ HEADLINE_EXEMPT = {
     "minhash_signature": "signature kernel is timed inside "
                          "minhash_lsh_pairs (guarded) and floored by "
                          "tests/test_kernel_bench.py",
+    "ann_recall": "composes two HEADLINE-guarded plans verbatim "
+                  "(cosine_topk ∩ ann_ivf, both timed); adds only a "
+                  "10-row join + one-row agg of its own",
 }
 
 # Regression tripwire (round-7 review ask #6): recorded driver-window

@@ -50,6 +50,31 @@ def decode_audio(buf: bytes, fmt: str = "pcm16") -> tuple[int, np.ndarray]:
                              count=n)
 
 
+FP_WINDOWS = 65  # fingerprint64 consumes 65 windows -> 64 delta bits
+
+
+def fingerprint64(samples: np.ndarray, win: int = WINDOW) -> int:
+    """Haitsma-Kalker-style energy-delta sign fingerprint (ISMIR'02 shape,
+    reduced to one band): bit b — MSB-first, b = 0 the int64 sign bit, the
+    same packing as functions/image.py average_hash — is 1 iff the energy
+    (windowed sum of squares, exact int64) STRICTLY rises from window b to
+    window b+1, over the first 65 full windows.  Clips shorter than 65
+    windows leave the trailing bits 0 (the frame-aligned convention of
+    window_features); energy is invariant to sign flips and robust to the
+    small amplitude noise the delta-sign survives — the property the
+    original fingerprint was designed around.  Returned as a SIGNED 64-bit
+    int so it rides an int64 Spark/parquet column like the image phash."""
+    x = samples.astype(np.int64)
+    n_win = min(len(x) // win, FP_WINDOWS)
+    fp = 0
+    if n_win >= 2:
+        e = (x[:n_win * win].reshape(n_win, win) ** 2).sum(axis=1)
+        for b in range(n_win - 1):
+            if e[b + 1] > e[b]:
+                fp |= 1 << (63 - b)
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
 def window_features(samples: np.ndarray, win: int = WINDOW):
     """Yield (win_idx, sum_sq, peak, zcr, rms) per FULL window (a trailing
     partial window is dropped — the fixtures use exact multiples; at scale

@@ -1083,6 +1083,39 @@ def q_ann_ivf_arrow(spark, sf_dir):
     return q_ann_ivf(spark, sf_dir, use_arrow=True)
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN quality audit — recall@k of the IVF path against the exact
+    brute-force top-k, the standard acceptance gate every ANN deployment
+    runs before switching retrieval over (Johnson et al., the FAISS eval
+    protocol).  Composes the two oracle-pinned queries: exact cosine
+    top-10 (q_cosine_topk) ∩ IVF top-10 (q_ann_ivf) → one row
+    (k, n_hits, recall_at_k).  100 TB shape: both inputs are already
+    top-k-bounded (TakeOrderedAndProject), so the intersection join and
+    the final agg are driver-trivial regardless of corpus size; the
+    production form maps this over a SAMPLE of query vectors — the
+    fixture's single query pins the semantics."""
+    exact = q_cosine_topk(spark, sf_dir).select("vec_id")
+    ivf = q_ann_ivf(spark, sf_dir).select("vec_id")
+    return (exact.join(ivf, "vec_id")
+            .agg(F.count("*").cast("long").alias("n_hits"))
+            .select(F.lit(_IVF_TOPK).cast("long").alias("k"), "n_hits",
+                    F.round(F.col("n_hits").cast("double") / _IVF_TOPK, 4)
+                     .alias("recall_at_k")))
+
+
+def _sql_ann_recall() -> str:
+    """Composes the exact-top-k and IVF oracle CTEs verbatim — the twins
+    cannot drift from their standalone hash-green forms."""
+    return f"""
+WITH exact_k AS ({SQL_COSINE_TOPK}),
+ivf_k AS ({_sql_ann_ivf()})
+SELECT {_IVF_TOPK}::BIGINT AS k,
+       count(*)::BIGINT AS n_hits,
+       round(count(*) / {_IVF_TOPK}.0, 4) AS recall_at_k
+FROM exact_k JOIN ivf_k USING (vec_id)
+"""
+
+
 def q_a3_recent(spark, sf_dir):
     """A3 — recent-discoveries ring: last 50 events by time
     (presenter/dashboard.go:306-315; trivially relational here)."""
@@ -2290,6 +2323,144 @@ FROM w GROUP BY clip, win
 """
 
 
+# -- audio near-dup (energy-delta fingerprint -> the shared MIH operator) ----
+# The audio leg of the cross-modal dedup family.  The fixture is built
+# FINGERPRINT-FIRST: a designed 64-bit pattern per clip (SplitMix64 base
+# per group + role-specific flip sets), realized as PCM whose per-window
+# amplitude walks +1/-1 with the pattern's bits — energy (256·A²) is
+# strictly monotone in A, so the energy-delta signs recover the pattern
+# exactly.  The builder asserts bytes -> fingerprint64 -> pattern
+# round-trips for every clip, the designed fingerprint is stored alongside
+# the bytes (like the image fixture's phash), the Spark query RECOMPUTES
+# it from the bytes, and the output carries both endpoint fingerprints so
+# the oracle's stored-fp brute force catches bit-permutation/XOR-constant
+# kernel breaks that pairwise distances alone would hide.
+
+_AUDIO_ND_FIXTURE = "/tmp/spark_graft_audio_nd_corpus_v1.parquet"
+_AUDIO_ND_GROUPS = 20
+_M64 = (1 << 64) - 1
+
+
+def _audio_nd_fp(g: int, role: int) -> int:
+    """Designed (unsigned) fingerprint for clip (group g, role).  Role 0:
+    SplitMix64(g) base.  Role 1: near-dup member — 3 flips, one in each of
+    MIH bands 0-2 (dist 3 = the radius, must pair with base).  Role 2:
+    reject — even groups flip 5 bits INSIDE band 1 (bands 0/2/3 still
+    equal: a designed band-collision candidate the bit_count confirm must
+    drop); odd groups flip 3 bits in EVERY band (dist 12, no equal band:
+    never even a candidate)."""
+    z = (g * 0x9E3779B97F4A7C15 + 0x2545F4914F6CDD1D) & _M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    base = z ^ (z >> 31)
+    if role == 1:
+        return base ^ ((1 << 5) | (1 << 26) | (1 << 47))
+    if role == 2:
+        if g % 2 == 0:
+            return base ^ (0b11111 << 18)
+        return base ^ ((0b111 << 2) | (0b111 << 18)
+                       | (0b111 << 34) | (0b111 << 50))
+    return base
+
+
+def _ensure_audio_nd_fixture() -> str:
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions import audio as aud_m
+
+    if os.path.exists(_AUDIO_ND_FIXTURE):
+        return _AUDIO_ND_FIXTURE
+    win = aud_m.WINDOW
+    n_samples = aud_m.FP_WINDOWS * win
+    sign = np.where(np.arange(n_samples) % 2 == 0, 1, -1).astype(np.int64)
+    rows = {k: [] for k in ("audio_id", "bytes", "sr", "n_samples",
+                            "fmt", "fp")}
+    for c in range(3 * _AUDIO_ND_GROUPS):
+        g, role = divmod(c, 3)
+        fp_u = _audio_nd_fp(g, role)
+        # amplitude walk: A[0] = 300; bit b set -> A[b+1] = A[b] + 1 else
+        # A[b] - 1 (range [236, 364] — int16-safe, strictly positive, so
+        # E = win·A² preserves every strict comparison)
+        amps = [300]
+        for b in range(64):
+            amps.append(amps[-1] + (1 if (fp_u >> (63 - b)) & 1 else -1))
+        wave = (np.repeat(np.array(amps, dtype=np.int64), win)
+                * sign).astype(np.int16)
+        fp_signed = fp_u - (1 << 64) if fp_u >= (1 << 63) else fp_u
+        assert aud_m.fingerprint64(wave) == fp_signed, c  # bytes⇄fp agree
+        rows["audio_id"].append(f"and{c:03d}")
+        rows["bytes"].append(aud_m.encode_audio(wave, sr=16000))
+        rows["sr"].append(16000)
+        rows["n_samples"].append(n_samples)
+        rows["fmt"].append("pcm16")
+        rows["fp"].append(fp_signed)
+    schema = pa.schema([("audio_id", pa.string()), ("bytes", pa.binary()),
+                        ("sr", pa.int32()), ("n_samples", pa.int32()),
+                        ("fmt", pa.string()), ("fp", pa.int64())])
+    # unique tmp per process: concurrent builders must not interleave
+    # writes to one tmp file and install a corrupt parquet (round-8 ADVICE)
+    tmp = f"{_AUDIO_ND_FIXTURE}.{os.getpid()}.tmp"
+    pq.write_table(pa.table(rows, schema=schema), tmp)
+    os.replace(tmp, _AUDIO_ND_FIXTURE)  # atomic vs concurrent builders
+    return _AUDIO_ND_FIXTURE
+
+
+def q_audio_near_dup(spark, sf_dir):
+    """Audio near-duplicate pairs — the audio leg of the cross-modal dedup
+    family (text simhash / image phash / video frames all green on the
+    same operator): 64-bit energy-delta fingerprint (functions/audio.py
+    fingerprint64, Haitsma-Kalker shape) RECOMPUTED FROM THE PCM BYTES in
+    one no-shuffle Arrow pass, then the SAME fingerprint-agnostic MIH
+    band join + bit_count(xor) ≤ 3 confirm (_img_band_pairs).  Output
+    carries both endpoint fingerprints so the oracle's stored-designed-fp
+    brute force hash-gates the kernel itself (a bit-permutation break
+    preserves distances but not fingerprints).  100 TB shape: decode scan
+    parallel by file split, candidates bucketed by (band, value) — never
+    all-pairs; hot buckets take the capped star expansion."""
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    from ..functions import audio as aud_m
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {"image_id": [], "phash": []}
+            for aid, buf, fmt in zip(pdf["audio_id"], pdf["bytes"],
+                                     pdf["fmt"]):
+                _, x = aud_m.decode_audio(buf, fmt)
+                out["image_id"].append(aid)
+                out["phash"].append(aud_m.fingerprint64(x))
+            if out["image_id"]:  # empty object-dtype frames break Arrow
+                yield pd.DataFrame(out)
+
+    clips = spark.read.parquet(_ensure_audio_nd_fixture())
+    fps = (clips.select("audio_id", "bytes", "fmt")
+                .mapInPandas(kernel, "image_id string, phash long"))
+    return _img_band_pairs(fps).select(
+        F.col("left_id").alias("left_clip"),
+        F.col("right_id").alias("right_clip"),
+        F.col("lp").alias("left_fp"), F.col("rp").alias("right_fp"),
+        "dist")
+
+
+def _sql_audio_near_dup() -> str:
+    """Brute-force twin over the STORED designed fingerprints (asserted
+    byte-equal to the waveform at build time): all pairs, no banding —
+    verifies the MIH decomposition exhaustive AND the recomputed
+    fingerprints equal the designed ones."""
+    return f"""
+WITH t AS (SELECT audio_id, fp FROM read_parquet('{_AUDIO_ND_FIXTURE}'))
+SELECT a.audio_id AS left_clip, b.audio_id AS right_clip,
+       a.fp AS left_fp, b.fp AS right_fp,
+       bit_count(xor(a.fp, b.fp))::BIGINT AS dist
+FROM t a JOIN t b ON a.audio_id < b.audio_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {_IMG_RADIUS}
+"""
+
+
 # -- sketch ops: Arrow-UDF kernels on the Spark side, exact DuckDB twins -----
 # The kernels (functions/text.py) were designed SQL-portable: polynomial
 # folds mod Mersenne primes that DuckDB reproduces bit-for-bit with
@@ -2833,6 +3004,8 @@ QUERIES = {
     "video_near_dup": q_video_near_dup,
     "img_resize": q_img_resize,
     "audio_features": q_audio_features,
+    "audio_near_dup": q_audio_near_dup,
+    "ann_recall": q_ann_recall,
     "sample_split": q_sample_split,
     "repetition_score": q_repetition_score,
     "fingerprint64": q_fingerprint64,
@@ -2922,6 +3095,8 @@ def oracles() -> dict[str, str]:
         # audio: the oracle regenerates the closed-form sawtooth samples
         # and must match the byte-decoding kernel's exact integer features
         "audio_features": _sql_audio_features(),
+        "audio_near_dup": _sql_audio_near_dup(),
+        "ann_recall": _sql_ann_recall(),
         "sample_split": _sql_sample_split(),
         "repetition_score": _sql_repetition(),
     }

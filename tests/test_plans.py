@@ -314,6 +314,20 @@ def test_ann_ivf_arrow_parity(spark):
         assert rows_lit == rows_arw, f"top-k diverged at k={k}"
 
 
+def test_ann_recall_matches_python_recomputation(spark):
+    """q_ann_recall (round 9): the recall row equals the set intersection
+    of the two underlying top-k queries recomputed in python, and is a
+    valid proportion of k."""
+    sf = "/root/testdata/sf0.01"
+    exact = {r["vec_id"] for r in dq.q_cosine_topk(spark, sf).collect()}
+    ivf = {r["vec_id"] for r in dq.q_ann_ivf(spark, sf).collect()}
+    [row] = dq.q_ann_recall(spark, sf).collect()
+    assert row["k"] == dq._IVF_TOPK
+    assert row["n_hits"] == len(exact & ivf)
+    assert row["recall_at_k"] == round(len(exact & ivf) / dq._IVF_TOPK, 4)
+    assert 0 <= row["n_hits"] <= dq._IVF_TOPK
+
+
 def test_ann_ivf_threshold_selects_arrow():
     """q_ann_ivf's k-threshold: literal at the default, Arrow beyond."""
     import inspect
