@@ -72,6 +72,7 @@ HEADLINE = [
     "simhash64", "simhash_near_dup",
     "minhash_lsh_pairs", "lsh_cap_stats", "dedup_groups",
     "dedup_pipeline",
+    "xmodal_dup_groups", "scene_dedup",
 ]
 
 # Driver-contract queries intentionally NOT timed in the headline suite —
@@ -120,44 +121,41 @@ HEADLINE_EXEMPT = {
 # shipped envelope covers EVERY headline entry (queries added mid-round are
 # seeded from a disclosed local sf0.1 local[32] run until a driver record
 # exists).
-# Recorded from BENCH_r08.json (driver run, sf0.1 local[32]) — round-8
-# VERDICT ask #3: the round-8 provisional rows (a2_windowed,
-# ann_ivf_arrow, the image near-dup family) now carry driver-record
-# values and are no longer provisional.
+# Recorded from BENCH_r09.json (driver run, sf0.1 local[32]) — round-9
+# VERDICT ask #1: that record covers every headline query including the
+# round-9 additions, so all rows are driver-record values and
+# ENVELOPE_PROVISIONAL is fully drained.
 ENVELOPE = {
-    "tpch_q1": 0.529, "tpch_q3": 1.955, "x1_extract": 0.294,
-    "x4_expand": 0.559, "x5_root": 0.284, "w1_first_success": 0.773,
-    "w2_budget": 0.588, "d1_anti_join": 0.332, "a2_rates": 0.461,
-    "a2_windowed": 0.472,
-    "dedup_exact": 0.431, "token_count": 0.148, "quality_score": 0.187,
-    "lang_id": 0.274, "ngram_jaccard": 0.366, "cosine_topk": 0.55,
-    "ann_lsh_bucket": 0.655, "ann_ivf": 2.419,
-    "ann_ivf_arrow": 2.152,
-    "img_pipeline": 0.263,
-    "payload_validate": 0.373,
-    "img_near_dup_pairs": 0.518, "img_dup_groups": 2.482,
-    "img_caption_conflicts": 0.576,
-    # round-9 additions — seeded from a local sf0.1 local[32] bench.py
+    "tpch_q1": 0.479, "tpch_q3": 1.719, "x1_extract": 0.271,
+    "x4_expand": 0.554, "x5_root": 0.265, "w1_first_success": 0.644,
+    "w2_budget": 0.552, "d1_anti_join": 0.286, "a2_rates": 0.419,
+    "a2_windowed": 0.412,
+    "dedup_exact": 0.383, "token_count": 0.136, "quality_score": 0.154,
+    "lang_id": 0.24, "ngram_jaccard": 0.313, "cosine_topk": 0.51,
+    "ann_lsh_bucket": 0.64, "ann_ivf": 2.203,
+    "ann_ivf_arrow": 2.101,
+    "img_pipeline": 0.319,
+    "payload_validate": 0.329,
+    "img_near_dup_pairs": 0.46, "img_dup_groups": 2.482,
+    "img_caption_conflicts": 0.603,
+    "emb_near_dup_pairs": 1.84,
+    "video_frame_sample": 0.384, "video_near_dup": 0.754,
+    "video_scene_cuts": 0.497, "img_stats": 0.29, "quality_filter": 0.326,
+    "simhash_near_dup": 1.991,
+    "img_resize": 0.686, "audio_features": 0.271, "audio_near_dup": 0.662,
+    "sessionize": 0.86, "sample_split": 0.206,
+    "repetition_score": 0.151, "fingerprint64": 0.19, "simhash64": 0.178,
+    "minhash_lsh_pairs": 1.232, "lsh_cap_stats": 0.742, "dedup_groups": 1.936,
+    "dedup_pipeline": 3.9, "crawl": 13.79,
+    # round-10 additions — seeded from a local sf0.1 local[32] bench.py
     # run (in-suite, same-protocol) until a driver BENCH record exists;
     # listed in ENVELOPE_PROVISIONAL so the tripwire reports them as such
-    "emb_near_dup_pairs": 2.101,
-    "video_frame_sample": 0.463, "video_near_dup": 1.237,
-    "video_scene_cuts": 0.546, "img_stats": 0.302, "quality_filter": 0.374,
-    "simhash_near_dup": 2.156,
-    "img_resize": 1.048, "audio_features": 0.396,
-    "sessionize": 0.885, "sample_split": 0.211,
-    "repetition_score": 0.185, "fingerprint64": 0.198, "simhash64": 0.192,
-    "minhash_lsh_pairs": 1.675, "lsh_cap_stats": 0.952, "dedup_groups": 2.612,
-    "dedup_pipeline": 4.297, "crawl": 14.17,
+    "xmodal_dup_groups": 8.546, "scene_dedup": 2.472,
 }
 # Envelope rows seeded from a LOCAL same-machine run rather than a driver
 # BENCH record (round-8 ADVICE: tag programmatically so the tripwire can
 # say so) — refresh from the next BENCH_r{N}.json and drain this set.
-ENVELOPE_PROVISIONAL = {
-    "emb_near_dup_pairs", "video_frame_sample", "video_near_dup",
-    "video_scene_cuts", "img_stats", "quality_filter", "simhash_near_dup",
-    "img_resize", "audio_features",
-}
+ENVELOPE_PROVISIONAL: set[str] = {"xmodal_dup_groups", "scene_dedup"}
 ENVELOPE_NOISE_FACTOR = 3.0
 
 

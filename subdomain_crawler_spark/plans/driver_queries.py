@@ -2409,18 +2409,12 @@ def _ensure_audio_nd_fixture() -> str:
     return _AUDIO_ND_FIXTURE
 
 
-def q_audio_near_dup(spark, sf_dir):
-    """Audio near-duplicate pairs — the audio leg of the cross-modal dedup
-    family (text simhash / image phash / video frames all green on the
-    same operator): 64-bit energy-delta fingerprint (functions/audio.py
-    fingerprint64, Haitsma-Kalker shape) RECOMPUTED FROM THE PCM BYTES in
-    one no-shuffle Arrow pass, then the SAME fingerprint-agnostic MIH
-    band join + bit_count(xor) ≤ 3 confirm (_img_band_pairs).  Output
-    carries both endpoint fingerprints so the oracle's stored-designed-fp
-    brute force hash-gates the kernel itself (a bit-permutation break
-    preserves distances but not fingerprints).  100 TB shape: decode scan
-    parallel by file split, candidates bucketed by (band, value) — never
-    all-pairs; hot buckets take the capped star expansion."""
+def _audio_fingerprints(clips: DataFrame) -> DataFrame:
+    """(image_id, phash) = (audio_id, fingerprint64) — 64-bit energy-delta
+    fingerprint (functions/audio.py, Haitsma-Kalker shape) recomputed from
+    the PCM bytes in one no-shuffle Arrow pass; column names match
+    _img_band_pairs's input contract so the audio leg plugs straight into
+    the shared MIH operator."""
     import pandas as pd  # noqa: F811 — worker-side import
 
     from ..functions import audio as aud_m
@@ -2436,9 +2430,24 @@ def q_audio_near_dup(spark, sf_dir):
             if out["image_id"]:  # empty object-dtype frames break Arrow
                 yield pd.DataFrame(out)
 
-    clips = spark.read.parquet(_ensure_audio_nd_fixture())
-    fps = (clips.select("audio_id", "bytes", "fmt")
-                .mapInPandas(kernel, "image_id string, phash long"))
+    return (clips.select("audio_id", "bytes", "fmt")
+            .mapInPandas(kernel, "image_id string, phash long"))
+
+
+def q_audio_near_dup(spark, sf_dir):
+    """Audio near-duplicate pairs — the audio leg of the cross-modal dedup
+    family (text simhash / image phash / video frames all green on the
+    same operator): 64-bit energy-delta fingerprint (functions/audio.py
+    fingerprint64, Haitsma-Kalker shape) RECOMPUTED FROM THE PCM BYTES in
+    one no-shuffle Arrow pass (_audio_fingerprints), then the SAME
+    fingerprint-agnostic MIH band join + bit_count(xor) ≤ 3 confirm
+    (_img_band_pairs).  Output carries both endpoint fingerprints so the
+    oracle's stored-designed-fp brute force hash-gates the kernel itself
+    (a bit-permutation break preserves distances but not fingerprints).
+    100 TB shape: decode scan parallel by file split, candidates bucketed
+    by (band, value) — never all-pairs; hot buckets take the capped star
+    expansion."""
+    fps = _audio_fingerprints(spark.read.parquet(_ensure_audio_nd_fixture()))
     return _img_band_pairs(fps).select(
         F.col("left_id").alias("left_clip"),
         F.col("right_id").alias("right_clip"),
@@ -2963,11 +2972,257 @@ FROM repmap m LEFT JOIN cc ON m.rep_id = cc.id
 """)
 
 
+# -- scene segmentation → per-scene keyframe dedup (video pipeline comp) ----
+
+
+def q_scene_dedup(spark, sf_dir):
+    """Scene segmentation + per-scene keyframe dedup — the composition a
+    video training pipeline runs AFTER cut detection: scene-cut labels
+    (the q_video_scene_cuts lag-Hamming delta) → scene spans (scene_id =
+    running cut count per video) → one keyframe per scene (the first
+    frame: frame 0 or a cut row — NO second shuffle; the keyframe set is
+    exactly the rows where the lag distance is null or ≥ threshold, so
+    segmentation and keyframe extraction ride the SAME single
+    partition-by-video window pass) → keyframe phash into the shared MIH
+    band join + connected-components, grouping duplicate scenes within
+    and across videos.  The ND fixture makes this real: videos of one
+    group-triple cut their scenes from the same image groups, so
+    cross-video scene duplicates exist by design.
+
+    Scale shape: one decode scan (stride-1 frame hashes, no shuffle), ONE
+    hash partition by video_id for the window, then the keyframe set —
+    ~cuts+1 rows per video, orders of magnitude smaller than frames —
+    enters the (band, value)-partitioned MIH join; CC over scene nodes
+    (video_num·64 + scene_id int64 ids).  Output: one row per scene."""
+    from ..operators.components import connected_components, \
+        free_checkpoint_blocks
+
+    frames = _sampled_frame_hashes(
+        spark.read.parquet(_ensure_video_nd_fixture()), stride=1)
+    w = Window.partitionBy("video_id").orderBy("frame_idx")
+    prev = F.lag("phash").over(w)
+    dist = F.bit_count(prev.bitwiseXOR(F.col("phash"))).cast("long")
+    cut = F.when(dist >= _SCENE_CUT_T, F.lit(1)).otherwise(F.lit(0))
+    lab = frames.select(
+        "video_id", "frame_idx", "phash", dist.alias("dist"),
+        F.sum(cut).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("scene_id"))
+    keyframes = (lab.filter(F.col("dist").isNull()
+                            | (F.col("dist") >= _SCENE_CUT_T))
+                 .select("video_id", "scene_id",
+                         F.col("frame_idx").alias("keyframe_idx"), "phash",
+                         (F.substring("video_id", 6, 16).cast("long") * 64
+                          + F.col("scene_id")).alias("nid")))
+    keyframes = keyframes.persist()  # scanned by band join + label join
+    pairs = _img_band_pairs(
+        keyframes.select(F.col("nid").alias("image_id"), "phash"))
+    labels = connected_components(
+        pairs.select(F.col("left_id").alias("a"),
+                     F.col("right_id").alias("b")))
+    out = (keyframes.join(labels, keyframes["nid"] == labels["id"], "left")
+           .select("video_id", "scene_id", "keyframe_idx",
+                   F.coalesce("label", "nid").alias("group_id"))
+           .localCheckpoint(eager=True))
+    free_checkpoint_blocks(labels)
+    keyframes.unpersist()
+    return out
+
+
+def _sql_scene_dedup() -> str:
+    """Brute-force twin: regenerate every frame phash from the image
+    fixture via the stride-1 layout formula (the q_video_scene_cuts
+    oracle's CTE), the same lag → cut → running-sum segmentation, keyframe
+    = first frame per scene, all-pairs Hamming ≤ radius over keyframes,
+    recursive-CTE closure over scene node ids."""
+    return f"""WITH RECURSIVE imgs AS (
+  SELECT CAST(substring(image_id, 3) AS INT) AS idx, phash
+  FROM read_parquet('{_IMG_CORPUS_FIXTURE}')
+), frames AS (
+  SELECT 'vidnd' || lpad(v.v::VARCHAR, 3, '0') AS video_id,
+         j.j AS frame_idx, i.phash
+  FROM (SELECT unnest(generate_series(0, {_VIDEO_ND_VIDEOS - 1})) AS v) v
+  CROSS JOIN (SELECT unnest(generate_series(0, {_VIDEO_ND_FRAMES - 1}))
+              AS j) j
+  JOIN imgs i
+    ON i.idx = 4 * (4 * (v.v // 3) + j.j // {_VIDEO_STRIDE})
+               + CASE WHEN j.j % {_VIDEO_STRIDE} = 0
+                      THEN CASE v.v % 3 WHEN 0 THEN 0 WHEN 1 THEN 2
+                           ELSE 3 END
+                      ELSE j.j % 4 END
+), lagged AS (
+  SELECT video_id, frame_idx, phash,
+         bit_count(xor(lag(phash) OVER w, phash)) AS dist
+  FROM frames WINDOW w AS (PARTITION BY video_id ORDER BY frame_idx)
+), seg AS (
+  SELECT video_id, frame_idx, phash, dist,
+         sum(CASE WHEN dist >= {_SCENE_CUT_T} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY video_id ORDER BY frame_idx
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS scene_id
+  FROM lagged
+), keyframes AS (
+  SELECT video_id, scene_id, frame_idx AS keyframe_idx, phash,
+         (CAST(substring(video_id, 6) AS BIGINT) * 64 + scene_id)::BIGINT
+             AS nid
+  FROM seg WHERE dist IS NULL OR dist >= {_SCENE_CUT_T}
+), pairs AS (
+  SELECT x.nid AS a, y.nid AS b
+  FROM keyframes x JOIN keyframes y ON x.nid < y.nid
+  WHERE bit_count(xor(x.phash, y.phash)) <= {_IMG_RADIUS}
+), """ + _SQL_CC_CTES + """
+SELECT k.video_id, k.scene_id, k.keyframe_idx,
+       coalesce(cc.group_id, k.nid) AS group_id
+FROM keyframes k LEFT JOIN cc ON k.nid = cc.id
+"""
+
+
+# -- cross-modal dedup (one MIH operator, four modalities, one CC pass) ------
+
+
+# node-id tag bits: cross-modal CC needs one int64 id space; 2^40 clears
+# every per-modality numeric range by orders of magnitude (doc_id < 10^7
+# at any tested sf; fixture suffixes < 10^3)
+_XM_TAG = 1 << 40
+
+
+def q_xmodal_dup_groups(spark, sf_dir):
+    """CROSS-MODAL near-dup grouping — the end-to-end proof of the "one
+    operator, N modalities" claim: text simhash (documents), image phash
+    (stored corpus column), sampled-video-frame phash (decoded from rawv
+    bytes), and audio fingerprint (decoded from PCM bytes) are unioned
+    into ONE (modality, item_id, node_id, code) table, candidate edges
+    come from ONE _img_band_pairs invocation over the union, and groups
+    from ONE connected_components pass.  The video fixture's frames are
+    packed from image-fixture members, so genuine cross-modal edges exist
+    (video frames ↔ the stills they were cut from) — exactly the
+    image-vs-video-frame dedup a multimodal training pipeline runs to stop
+    a still leaking into train while its video lands in eval.
+
+    Scale shape: each modality leg is a no-shuffle scan (text/audio/video
+    kernels are single-pass Arrow; image codes are a stored column); the
+    union is unioned LOGICALLY (no materialization) and feeds the same
+    (band, value)-partitioned MIH join as every per-modality query —
+    nothing all-pairs, hot buckets take the capped star expansion; CC is
+    the same pointer-jumping operator.  Node ids pack modality tag bits
+    over the per-modality numeric id (2^40 apart — no collisions at any
+    corpus size the id widths admit).
+
+    Oracle: brute-force all-pairs Hamming ≤ 3 over the SAME four code
+    sets recomputed independently (simhash CTE, stored phash/fp columns,
+    the video layout formula) + recursive-CTE closure."""
+    from ..operators.components import connected_components, \
+        free_checkpoint_blocks
+
+    text = _docs_wide(spark, sf_dir).select(
+        F.lit("text").alias("modality"),
+        F.col("doc_id").cast("string").alias("item_id"),
+        F.col("doc_id").cast("long").alias("nid"),
+        udfs.udf_simhash64("text").alias("code"))
+    imgs = _img_corpus(spark).select(
+        F.lit("image").alias("modality"),
+        F.col("image_id").alias("item_id"),
+        (F.lit(_XM_TAG)
+         + F.substring("image_id", 3, 16).cast("long")).alias("nid"),
+        F.col("phash").alias("code"))
+    frames = _sampled_frame_hashes(
+        spark.read.parquet(_ensure_video_nd_fixture()))
+    video = frames.select(
+        F.lit("video").alias("modality"),
+        F.concat_ws(":", "video_id", "frame_idx").alias("item_id"),
+        (F.lit(2 * _XM_TAG)
+         + F.substring("video_id", 6, 16).cast("long") * 1024
+         + F.col("frame_idx")).alias("nid"),
+        F.col("phash").alias("code"))
+    audio = _audio_fingerprints(
+        spark.read.parquet(_ensure_audio_nd_fixture())).select(
+        F.lit("audio").alias("modality"),
+        F.col("image_id").alias("item_id"),
+        (F.lit(3 * _XM_TAG)
+         + F.substring("image_id", 4, 16).cast("long")).alias("nid"),
+        F.col("phash").alias("code"))
+    # persist: the union is scanned twice (band join + final label join);
+    # without it every decode kernel would run twice
+    nodes = (text.unionByName(imgs).unionByName(video).unionByName(audio)
+             .persist())
+    pairs = _img_band_pairs(nodes.select(F.col("nid").alias("image_id"),
+                                         F.col("code").alias("phash")))
+    labels = connected_components(
+        pairs.select(F.col("left_id").alias("a"),
+                     F.col("right_id").alias("b")))
+    out = (nodes.join(labels, nodes["nid"] == labels["id"], "left")
+           .select("modality", "item_id",
+                   F.coalesce("label", "nid").alias("group_id"))
+           .localCheckpoint(eager=True))
+    free_checkpoint_blocks(labels)
+    nodes.unpersist()
+    return out
+
+
+def _sql_xmodal_dup_groups() -> str:
+    """Brute-force twin: the four code sets recomputed/reread independently
+    (text via the simhash CTE, image/audio via stored columns, video via
+    the sampled-frame layout formula), all-pairs Hamming ≤ radius over the
+    UNION (cross-modal pairs included), recursive-CTE closure."""
+    return f"""WITH RECURSIVE sh AS ({_sql_simhash()}
+), nodes AS (
+  SELECT 'text' AS modality, doc_id::VARCHAR AS item_id,
+         doc_id::BIGINT AS nid, simhash AS code
+  FROM sh
+  UNION ALL
+  SELECT 'image', image_id,
+         {_XM_TAG} + CAST(substring(image_id, 3) AS BIGINT), phash
+  FROM read_parquet('{_IMG_CORPUS_FIXTURE}')
+  UNION ALL
+  SELECT 'video', video_id || ':' || frame_idx,
+         {2 * _XM_TAG} + CAST(substring(video_id, 6) AS BIGINT) * 1024
+             + frame_idx,
+         phash
+  FROM (
+    SELECT 'vidnd' || lpad(v.v::VARCHAR, 3, '0') AS video_id,
+           j.j AS frame_idx, i.phash
+    FROM (SELECT unnest(generate_series(0, {_VIDEO_ND_VIDEOS - 1})) AS v) v
+    CROSS JOIN (SELECT unnest(generate_series(0, {_VIDEO_ND_FRAMES - 1},
+                                              {_VIDEO_STRIDE})) AS j) j
+    JOIN (SELECT CAST(substring(image_id, 3) AS INT) AS idx, phash
+          FROM read_parquet('{_IMG_CORPUS_FIXTURE}')) i
+      ON i.idx = 4 * (4 * (v.v // 3) + j.j // {_VIDEO_STRIDE})
+                 + CASE v.v % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 3 END
+  )
+  UNION ALL
+  SELECT 'audio', audio_id,
+         {3 * _XM_TAG} + CAST(substring(audio_id, 4) AS BIGINT), fp
+  FROM read_parquet('{_AUDIO_ND_FIXTURE}')
+), pairs AS (
+  SELECT x.nid AS a, y.nid AS b
+  FROM nodes x JOIN nodes y ON x.nid < y.nid
+  WHERE bit_count(xor(x.code, y.code)) <= {_IMG_RADIUS}
+), """ + _SQL_CC_CTES + """
+SELECT n.modality, n.item_id, coalesce(cc.group_id, n.nid) AS group_id
+FROM nodes n LEFT JOIN cc ON n.nid = cc.id
+"""
+
+
+# ORDER IS DELIBERATE (round-9 VERDICT ask #3): the driver's correctness
+# file records the FIRST 50 entries only, so never-yet-driver-verified and
+# newest queries sit at the TOP, and long-stable rows (green in driver
+# records across many rounds: tpch_q1/q3, f1/f2, x3/x6, a1/a3, props_json,
+# x2) absorb the window cut at the tail. When adding a query, add it at
+# the top of this dict.
 QUERIES = {
-    "f1_validate": q_f1_validate,
-    "f2_scope": q_f2_scope,
-    "x6_depth": q_x6_depth,
-    "x3_title": q_x3_title,
+    # --- newest / previously off-window first ---
+    "xmodal_dup_groups": q_xmodal_dup_groups,
+    "scene_dedup": q_scene_dedup,
+    "quality_filter": q_quality_filter,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "lsh_cap_stats": q_lsh_cap_stats,
+    "dedup_groups": q_dedup_groups,
+    "dedup_pipeline": q_dedup_pipeline,
+    "simhash_near_dup": q_simhash_near_dup,
+    "video_scene_cuts": q_video_scene_cuts,
+    "img_stats": q_img_stats,
+    "ann_recall": q_ann_recall,
+    "audio_near_dup": q_audio_near_dup,
+    "video_near_dup": q_video_near_dup,
+    # --- core operator surface ---
     "x1_extract": q_x1_extract,
     "x4_expand": q_x4_expand,
     "x5_root": q_x5_root,
@@ -2975,10 +3230,7 @@ QUERIES = {
     "d1_anti_join": q_d1_anti_join,
     "j3_semi_join": q_j3_semi_join,
     "w2_budget": q_w2_budget,
-    "a1_metrics": q_a1_metrics,
     "u1_union_dedup": q_u1_union_dedup,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -2988,44 +3240,47 @@ QUERIES = {
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_arrow": q_ann_ivf_arrow,
-    "a3_recent": q_a3_recent,
     "a2_rates": q_a2_rates,
     "a2_windowed": q_a2_windowed,
-    "props_json": q_props_json,
     "sessionize": q_sessionize,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
-    "x2_extract_html": q_x2_extract_html,
     "img_pipeline": q_img_pipeline,
     "payload_validate": q_payload_validate,
     "img_near_dup_pairs": q_img_near_dup_pairs,
     "img_dup_groups": q_img_dup_groups,
     "img_caption_conflicts": q_img_caption_conflicts,
     "video_frame_sample": q_video_frame_sample,
-    "video_near_dup": q_video_near_dup,
     "img_resize": q_img_resize,
     "audio_features": q_audio_features,
-    "audio_near_dup": q_audio_near_dup,
-    "ann_recall": q_ann_recall,
     "sample_split": q_sample_split,
     "repetition_score": q_repetition_score,
     "fingerprint64": q_fingerprint64,
     "minhash_signature": q_minhash_signature,
     "simhash64": q_simhash64,
-    "simhash_near_dup": q_simhash_near_dup,
-    "video_scene_cuts": q_video_scene_cuts,
-    "img_stats": q_img_stats,
-    "quality_filter": q_quality_filter,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "lsh_cap_stats": q_lsh_cap_stats,
-    "dedup_groups": q_dedup_groups,
-    "dedup_pipeline": q_dedup_pipeline,
+    # --- long-stable tail (absorbs the driver's 50-row window cut) ---
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "f1_validate": q_f1_validate,
+    "f2_scope": q_f2_scope,
+    "x6_depth": q_x6_depth,
+    "x3_title": q_x3_title,
+    "a1_metrics": q_a1_metrics,
+    "a3_recent": q_a3_recent,
+    "props_json": q_props_json,
+    "x2_extract_html": q_x2_extract_html,
 }
 
 
 def oracles() -> dict[str, str]:
     _ensure_payload_fixture()
     _ensure_img_corpus_fixture()
+    # the video/audio ND oracles read the fixture parquet by absolute path
+    # — ensure they exist whichever side the driver runs first
+    _ensure_video_nd_fixture()
+    _ensure_audio_nd_fixture()
     return {
+        "xmodal_dup_groups": _sql_xmodal_dup_groups(),
+        "scene_dedup": _sql_scene_dedup(),
         "f1_validate": SQL_F1,
         "f2_scope": SQL_F2,
         "x6_depth": SQL_X6,

@@ -109,11 +109,18 @@ def test_envelope_tripwire_logic():
     assert missing == []
     assert "crawl" in bench.ENVELOPE
     # provisional (locally-seeded) rows are tagged in the tripwire output
-    # (round-8 ADVICE) and must actually exist in the envelope
+    # (round-8 ADVICE) and must actually exist in the envelope; the set is
+    # legitimately EMPTY when every row carries a driver-record value
+    # (round-10: drained from BENCH_r09), so pin the tagging logic by
+    # injecting a synthetic provisional entry rather than indexing the set
     assert bench.ENVELOPE_PROVISIONAL <= set(bench.ENVELOPE)
-    prov = sorted(bench.ENVELOPE_PROVISIONAL)[0]
-    hit = bench.check_envelope({prov: bench.ENVELOPE[prov] * 10})
-    assert hit[0]["provisional"] is True
+    saved = bench.ENVELOPE_PROVISIONAL
+    try:
+        bench.ENVELOPE_PROVISIONAL = {"q"}
+        hit = bench.check_envelope({"q": 10.0}, env, 3.0)
+        assert hit[0]["provisional"] is True
+    finally:
+        bench.ENVELOPE_PROVISIONAL = saved
     # every driver-contract query is either headline-guarded or explicitly
     # exempt WITH a reason (round-8 VERDICT ask #2: no silent gaps)
     from subdomain_crawler_spark.plans import driver_queries as dq
