@@ -72,7 +72,7 @@ HEADLINE = [
     "simhash64", "simhash_near_dup",
     "minhash_lsh_pairs", "lsh_cap_stats", "dedup_groups",
     "dedup_pipeline",
-    "xmodal_dup_groups", "scene_dedup",
+    "xmodal_dup_groups", "scene_dedup", "ann_recall_sample",
 ]
 
 # Driver-contract queries intentionally NOT timed in the headline suite —
@@ -151,11 +151,13 @@ ENVELOPE = {
     # run (in-suite, same-protocol) until a driver BENCH record exists;
     # listed in ENVELOPE_PROVISIONAL so the tripwire reports them as such
     "xmodal_dup_groups": 8.546, "scene_dedup": 2.472,
+    "ann_recall_sample": 3.325,
 }
 # Envelope rows seeded from a LOCAL same-machine run rather than a driver
 # BENCH record (round-8 ADVICE: tag programmatically so the tripwire can
 # say so) — refresh from the next BENCH_r{N}.json and drain this set.
-ENVELOPE_PROVISIONAL: set[str] = {"xmodal_dup_groups", "scene_dedup"}
+ENVELOPE_PROVISIONAL: set[str] = {"xmodal_dup_groups", "scene_dedup",
+                                  "ann_recall_sample"}
 ENVELOPE_NOISE_FACTOR = 3.0
 
 

@@ -474,6 +474,37 @@ class CrawlEngine:
             rnd)
         return labels
 
+    def quality_filter_documents(self, docs: DataFrame,
+                                 export_table: str = "kept_documents",
+                                 ) -> dict[str, int]:
+        """Production quality-gate pass over a (doc_id, text, ...) corpus
+        run as part of a crawl workflow: filter fetched pages through the
+        composed first-failing-rule gate (driver_queries.
+        quality_filter_verdict — the SAME expressions the hash-green
+        quality_filter oracle certifies), export the surviving rows to
+        ``export_table`` under the current round, and record the
+        per-reason rejection counts to the checkpoint's
+        ``quality_metrics`` table.  The counts ride the export write's
+        own Observation — the observe node sits BELOW the keep filter, so
+        every row (kept and rejected) flows through it during the one
+        write action: ZERO extra scans (the A1 counters-riding-writes
+        pattern).  Returns the per-reason counts."""
+        from pyspark.sql import Observation
+
+        from .driver_queries import QF_REASONS, quality_filter_verdict
+
+        obs = Observation()
+        v = quality_filter_verdict(docs).observe(
+            obs, *[F.coalesce(F.sum((F.col("reason") == r).cast("long")),
+                              F.lit(0)).alias(r) for r in QF_REASONS])
+        kept = v.filter(F.col("keep")).drop("reason", "keep")
+        rnd = max(self.io.committed_round(), 0)
+        self.io.append(export_table, kept, rnd)  # the ONE action
+        got = obs.get
+        counts = {r: int(got[r] or 0) for r in QF_REASONS}
+        self.io.append_local("quality_metrics", pd.DataFrame([counts]), rnd)
+        return counts
+
     def run(self, seeds: list[str] | DataFrame | None = None,
             max_rounds: int = 64, progress=None) -> list[RoundStats]:
         import os as _os

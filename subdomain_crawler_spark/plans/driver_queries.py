@@ -570,19 +570,21 @@ _QF_MIN_QUALITY = 0.02  # min en-stopword ratio (C4-style heuristic)
 _QF_MAX_REP = 0.05     # max duplicate-3-gram fraction (Rae et al. §A1.1)
 
 
-def q_quality_filter(spark, sf_dir):
-    """THE composed pass an LLM training pipeline runs before tokenizing:
-    exact-dup keeper + language gate + length gate + stopword-ratio gate +
-    repetition gate, fused into ONE scan with first-failing-rule reasons
-    (duplicate → non_english → too_short → low_quality → repetitive →
-    kept).  Reuses the exact expressions of dedup_exact / lang_id /
-    token_count / quality_score / repetition_score — each independently
-    hash-green — so this pins their COMPOSITION, and the oracle composes
-    the same five oracle CTEs.  100 TB shape: every gate is a per-row JVM
-    expression in one whole-stage-codegen pass over the scan; the only
-    shuffle is the dedup window's hash partition by key (the same shuffle
-    dedup_exact pays), after which the verdict expression is free."""
-    d = _t(spark, sf_dir, "documents")
+# first-failing-rule verdicts in gate order (duplicate wins over language
+# over length …) + the keep verdict — the quality_metrics schema
+QF_REASONS = ("duplicate", "non_english", "too_short", "low_quality",
+              "repetitive", "kept")
+
+
+def quality_filter_verdict(d: DataFrame) -> DataFrame:
+    """The composed quality gate as a library call over ``d(doc_id, text,
+    ...)``: returns ALL input columns plus ``reason`` (first failing rule,
+    QF_REASONS order) and ``keep`` — so an engine caller can filter and
+    export the surviving rows without a second scan or re-join.  Helper
+    columns are underscore-prefixed and dropped (no collision with caller
+    columns).  Every gate is a per-row JVM expression in one
+    whole-stage-codegen pass; the only shuffle is the dup-keeper window's
+    hash partition by key (the same shuffle dedup_exact pays)."""
     toks = F.split(F.trim("text"), r"\s+")
     n = F.size(toks)
     key = F.array_join(F.slice(toks, 1, 3), " ")
@@ -606,29 +608,51 @@ def q_quality_filter(spark, sf_dir):
         sw = list(text_k.STOPWORDS[lang])
         return F.size(F.filter(toks, lambda t: t.isin(sw)))
 
-    base = d.select("doc_id", key.alias("key"), n.alias("n_tokens"),
-                    quality.alias("quality"), rep.alias("rep"),
-                    *[_hit(x).alias(f"h_{x}") for x in _LANGS])
+    cols = list(d.columns)
+    base = d.select(*cols, key.alias("_key"), n.alias("_n_tokens"),
+                    quality.alias("_quality"), rep.alias("_rep"),
+                    *[_hit(x).alias(f"_h_{x}") for x in _LANGS])
     lang = (
-        F.when((F.col("h_de") >= F.greatest("h_en", "h_es", "h_fr"))
-               & (F.col("h_de") > 0), "de")
-        .when((F.col("h_en") >= F.greatest("h_es", "h_fr"))
-              & (F.col("h_en") > 0), "en")
-        .when((F.col("h_es") >= F.col("h_fr")) & (F.col("h_es") > 0), "es")
-        .when(F.col("h_fr") > 0, "fr")
+        F.when((F.col("_h_de") >= F.greatest("_h_en", "_h_es", "_h_fr"))
+               & (F.col("_h_de") > 0), "de")
+        .when((F.col("_h_en") >= F.greatest("_h_es", "_h_fr"))
+              & (F.col("_h_en") > 0), "en")
+        .when((F.col("_h_es") >= F.col("_h_fr")) & (F.col("_h_es") > 0),
+              "es")
+        .when(F.col("_h_fr") > 0, "fr")
         .otherwise("und"))
-    keeper = F.min("doc_id").over(Window.partitionBy("key"))
-    scored = base.select("doc_id", "n_tokens", "quality", "rep",
-                         lang.alias("lang_pred"), keeper.alias("keeper"))
+    keeper = F.min("doc_id").over(Window.partitionBy("_key"))
+    scored = base.select(*cols, "_n_tokens", "_quality", "_rep",
+                         lang.alias("_lang_pred"), keeper.alias("_keeper"))
     reason = (
-        F.when(F.col("doc_id") != F.col("keeper"), "duplicate")
-        .when(F.col("lang_pred") != "en", "non_english")
-        .when(F.col("n_tokens") < _QF_MIN_TOKENS, "too_short")
-        .when(F.col("quality") < _QF_MIN_QUALITY, "low_quality")
-        .when(F.col("rep") > _QF_MAX_REP, "repetitive")
+        F.when(F.col("doc_id") != F.col("_keeper"), "duplicate")
+        .when(F.col("_lang_pred") != "en", "non_english")
+        .when(F.col("_n_tokens") < _QF_MIN_TOKENS, "too_short")
+        .when(F.col("_quality") < _QF_MIN_QUALITY, "low_quality")
+        .when(F.col("_rep") > _QF_MAX_REP, "repetitive")
         .otherwise("kept"))
-    return scored.select("doc_id", reason.alias("reason"),
+    return scored.select(*cols, reason.alias("reason"),
                          (reason == "kept").alias("keep"))
+
+
+def q_quality_filter(spark, sf_dir):
+    """THE composed pass an LLM training pipeline runs before tokenizing:
+    exact-dup keeper + language gate + length gate + stopword-ratio gate +
+    repetition gate, fused into ONE scan with first-failing-rule reasons
+    (duplicate → non_english → too_short → low_quality → repetitive →
+    kept).  Reuses the exact expressions of dedup_exact / lang_id /
+    token_count / quality_score / repetition_score — each independently
+    hash-green — so this pins their COMPOSITION, and the oracle composes
+    the same five oracle CTEs.  100 TB shape: every gate is a per-row JVM
+    expression in one whole-stage-codegen pass over the scan; the only
+    shuffle is the dedup window's hash partition by key (the same shuffle
+    dedup_exact pays), after which the verdict expression is free.
+    The expressions live in quality_filter_verdict — the engine's
+    CrawlEngine.quality_filter_documents runs the SAME composition, so
+    this oracle row certifies the production path too."""
+    d = _t(spark, sf_dir, "documents")
+    return (quality_filter_verdict(d.select("doc_id", "text"))
+            .select("doc_id", "reason", "keep"))
 
 
 def _sql_quality_filter() -> str:
@@ -1113,6 +1137,154 @@ SELECT {_IVF_TOPK}::BIGINT AS k,
        count(*)::BIGINT AS n_hits,
        round(count(*) / {_IVF_TOPK}.0, 4) AS recall_at_k
 FROM exact_k JOIN ivf_k USING (vec_id)
+"""
+
+
+# the production recall audit's query sample: 10 deterministic vec_ids
+# just past the centroid range (17..26) — at 100 TB this is a uniform
+# random sample; determinism here keeps the oracle exact
+_ANN_SAMPLE_Q = list(range(_IVF_K + 1, _IVF_K + 11))
+
+
+def q_ann_recall_sample(spark, sf_dir):
+    """The PRODUCTION form of the ANN recall audit (q_ann_recall pins the
+    single-query semantics; its docstring promised this): recall@k of the
+    IVF path vs exact brute-force top-k over a 10-query sample, one row
+    per query plus a mean row (query_id = −1, n_hits = total hits).
+
+    Vectorized over the sample — NOT a per-query loop: ONE corpus scan
+    broadcast-joined against the 10-row query set scores all (vector,
+    query) pairs; per-query exact top-k is a window rank partitioned by
+    query_id; the IVF side assigns cells ONCE (the same literal argmax
+    projection ann_ivf pins), probes via a broadcast (query_id, cell) map
+    — at 10^10 rows with a cell-partitioned store that probe map is a
+    partition-pruning predicate — and takes the same per-query window
+    top-k.  Per-query candidate work stays O(topk) rows into the final
+    intersection join, so the audit's cost is ~|sample| × one ann_ivf,
+    independent of corpus size."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = (e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _IVF_K))
+             .select("vec_id", "embedding").orderBy("vec_id").collect())
+    cents_lit = F.lit([list(map(float, r["embedding"]))
+                       for r in cents]).cast("array<array<float>>")
+    cid_lit = F.lit([int(r["vec_id"]) for r in cents]).cast("array<long>")
+    qs = (e.filter(F.col("vec_id").isin(_ANN_SAMPLE_Q))
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qv")))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+
+    # exact per-query top-k: one scan × broadcast 10-row query set
+    pairs = (e.select("vec_id", "embedding")
+             .join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "vec_id",
+                     _cos4("embedding", F.col("qv")).alias("cos_sim")))
+    exact = (pairs.withColumn("rn", F.row_number().over(wq))
+             .filter(F.col("rn") <= _IVF_TOPK).select("query_id", "vec_id"))
+
+    # IVF per-query: one cell assignment, per-query probe map, window top-k
+    scored = _ivf_cells_literal(e.select("vec_id", "embedding"),
+                                cents_lit, cid_lit)
+    wp = Window.partitionBy("query_id").orderBy(F.desc("qcos"), "cell")
+    probe = (qs.select(
+                 "query_id",
+                 F.posexplode(F.transform(
+                     cents_lit, lambda c: _cos4(F.col("qv"), c)))
+                  .alias("pos", "qcos"))
+             .select("query_id",
+                     F.element_at(cid_lit, F.col("pos").cast("int") + 1)
+                      .alias("cell"), "qcos")
+             .withColumn("rn", F.row_number().over(wp))
+             .filter(F.col("rn") <= _IVF_NPROBE).select("query_id", "cell"))
+    ivf = (scored.join(F.broadcast(probe), "cell")
+           .join(F.broadcast(qs.withColumnRenamed("query_id", "qid")),
+                 F.col("qid") == F.col("query_id"))
+           .filter(F.col("vec_id") != F.col("query_id"))
+           .select("query_id", "vec_id",
+                   _cos4("embedding", F.col("qv")).alias("cos_sim"))
+           .withColumn("rn", F.row_number().over(wq))
+           .filter(F.col("rn") <= _IVF_TOPK).select("query_id", "vec_id"))
+
+    per_q = (qs.select("query_id")
+             .join(exact.join(ivf, ["query_id", "vec_id"])
+                   .groupBy("query_id")
+                   .agg(F.count(F.lit(1)).alias("hits")),
+                   "query_id", "left")
+             .select("query_id",
+                     F.lit(_IVF_TOPK).cast("long").alias("k"),
+                     F.coalesce("hits", F.lit(0)).cast("long")
+                      .alias("n_hits"))
+             .withColumn("recall_at_k",
+                         F.round(F.col("n_hits") / _IVF_TOPK, 4)))
+    mean = per_q.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.lit(_IVF_TOPK).cast("long").alias("k"),
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        F.round(F.sum("n_hits")
+                / (F.count(F.lit(1)) * _IVF_TOPK), 4).alias("recall_at_k"))
+    return per_q.unionByName(mean)
+
+
+def _sql_ann_recall_sample() -> str:
+    """Window-function twin: same pair scoring, same per-query ranks, same
+    probe rule, same mean row — composed from the cosine/IVF expression
+    families the standalone oracles pin."""
+    cos = (lambda a, b:
+           f"round(list_inner_product({a}, {b}) / "
+           f"(sqrt(list_inner_product({a}, {a})) * "
+           f"sqrt(list_inner_product({b}, {b}))), 4)")
+    qlist = ", ".join(map(str, _ANN_SAMPLE_Q))
+    return f"""
+WITH qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id IN ({qlist})),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {_IVF_K}),
+exact_r AS (
+  SELECT qs.query_id, e.vec_id,
+         row_number() OVER (PARTITION BY qs.query_id
+                            ORDER BY {cos('e.embedding', 'qs.qv')} DESC,
+                                     e.vec_id) AS rn
+  FROM embeddings e, qs WHERE e.vec_id <> qs.query_id
+),
+exact_k AS (SELECT query_id, vec_id FROM exact_r WHERE rn <= {_IVF_TOPK}),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos('e.embedding', 'c.cv')} DESC,
+                                     c.cid) AS rn
+  FROM embeddings e, c
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+probe_r AS (
+  SELECT qs.query_id, c.cid AS cell,
+         row_number() OVER (PARTITION BY qs.query_id
+                            ORDER BY {cos('c.cv', 'qs.qv')} DESC, c.cid)
+           AS rn
+  FROM c, qs
+),
+probe AS (SELECT query_id, cell FROM probe_r WHERE rn <= {_IVF_NPROBE}),
+ivf_r AS (
+  SELECT qs.query_id, cells.vec_id,
+         row_number() OVER (PARTITION BY qs.query_id
+                            ORDER BY {cos('cells.embedding', 'qs.qv')} DESC,
+                                     cells.vec_id) AS rn
+  FROM cells JOIN probe USING (cell) JOIN qs USING (query_id)
+  WHERE cells.vec_id <> qs.query_id
+),
+ivf_k AS (SELECT query_id, vec_id FROM ivf_r WHERE rn <= {_IVF_TOPK}),
+per_q AS (
+  SELECT qs.query_id, {_IVF_TOPK}::BIGINT AS k,
+         coalesce(h.hits, 0)::BIGINT AS n_hits,
+         round(coalesce(h.hits, 0) / {_IVF_TOPK}.0, 4) AS recall_at_k
+  FROM qs LEFT JOIN (
+    SELECT query_id, count(*) AS hits
+    FROM exact_k JOIN ivf_k USING (query_id, vec_id)
+    GROUP BY query_id) h USING (query_id)
+)
+SELECT query_id, k, n_hits, recall_at_k FROM per_q
+UNION ALL
+SELECT -1::BIGINT, {_IVF_TOPK}::BIGINT, sum(n_hits)::BIGINT,
+       round(sum(n_hits) / (count(*) * {_IVF_TOPK}.0), 4)
+FROM per_q
 """
 
 
@@ -3211,6 +3383,7 @@ QUERIES = {
     # --- newest / previously off-window first ---
     "xmodal_dup_groups": q_xmodal_dup_groups,
     "scene_dedup": q_scene_dedup,
+    "ann_recall_sample": q_ann_recall_sample,
     "quality_filter": q_quality_filter,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "lsh_cap_stats": q_lsh_cap_stats,
@@ -3281,6 +3454,7 @@ def oracles() -> dict[str, str]:
     return {
         "xmodal_dup_groups": _sql_xmodal_dup_groups(),
         "scene_dedup": _sql_scene_dedup(),
+        "ann_recall_sample": _sql_ann_recall_sample(),
         "f1_validate": SQL_F1,
         "f2_scope": SQL_F2,
         "x6_depth": SQL_X6,
