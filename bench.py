@@ -103,6 +103,12 @@ HEADLINE_EXEMPT = {
     "ann_recall": "composes two HEADLINE-guarded plans verbatim "
                   "(cosine_topk ∩ ann_ivf, both timed); adds only a "
                   "10-row join + one-row agg of its own",
+    "img_quality_filter": "same decode+stats Arrow kernel and scan as "
+                          "img_stats (guarded); adds one fixture-size "
+                          "broadcast join + pure JVM gate projections",
+    "token_count_bpe": "one JVM regexp_count projection over the same "
+                       "documents scan as token_count (guarded); no "
+                       "shuffle, no UDF",
 }
 
 # Regression tripwire (round-7 review ask #6): recorded driver-window

@@ -446,6 +446,38 @@ FROM documents
 """
 
 
+# GPT-2-style pre-tokenizer classes, simplified to its ASCII core and RE2-
+# compatible (NO lookahead — the original's trailing-space lookahead is a
+# whitespace-preservation detail, irrelevant to counting): an optional
+# leading space glued to a letter run, digit run, or punctuation run.
+# Both engines (Java regex / RE2) resolve this alternation identically:
+# branch first-chars are disjoint, so leftmost-first == leftmost-longest.
+_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish token count — the brief's second counting mode: the GPT-2
+    pre-tokenizer's split classes (letter runs / digit runs / punctuation
+    runs, each absorbing one leading space) counted per document via JVM
+    ``regexp_count``; a whitespace count under-estimates BPE cost on
+    punctuation-dense text, and this is the standard first-order
+    correction a data pipeline budgets tokens with.  No UDF, no shuffle —
+    one codegen'd scan."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_BPE_PAT)).cast("long")
+         .alias("n_bpe_tokens"))
+
+
+def _sql_token_count_bpe() -> str:
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_PAT}'))::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_quality_score(spark, sf_dir):
     """Quality proxy: round(en-stopword-ratio, 4) (functions/text.py
     quality_score — same stopword list on both sides)."""
@@ -2246,6 +2278,13 @@ def q_img_stats(spark, sf_dir):
     mosaics of exactly two gray levels, 200 for set phash bits and 50 —
     48 after the lossy codec's 6-bit quantization — for unset, 12 channel
     bytes per cell), so a broken decode or stat kernel hash-mismatches."""
+    return _img_stats_frame(_img_corpus(spark))
+
+
+def _img_stats_frame(imgs: DataFrame) -> DataFrame:
+    """The q_img_stats decode+stats kernel as a library call over
+    ``imgs(image_id, bytes, fmt, ...)`` — also composed by
+    q_img_quality_filter."""
     import pandas as pd  # noqa: F811 — worker-side import
 
     from ..functions import image as img_m
@@ -2266,7 +2305,7 @@ def q_img_stats(spark, sf_dir):
             if out["image_id"]:  # empty object-dtype frames break Arrow
                 yield pd.DataFrame(out)
 
-    return (_img_corpus(spark).select("image_id", "bytes", "fmt")
+    return (imgs.select("image_id", "bytes", "fmt")
             .mapInPandas(kernel,
                          "image_id string, n_px long, sum_px long, "
                          "sum_sq long, min_px long, max_px long"))
@@ -2289,6 +2328,78 @@ SELECT image_id,
        (12 * (k * 40000 + (64 - k) * lo * lo))::BIGINT AS sum_sq,
        lo AS min_px, 200::BIGINT AS max_px
 FROM t
+"""
+
+
+# -- image+caption quality filter (the multimodal twin of quality_filter) ----
+
+# integer-exact gate thresholds (× n_px forms below — no float compare):
+# mean < 120 rejects the dark end of the fixture's mean range [104, 153];
+# var < 5100 rejects low-contrast mosaics (range ≈ [4834, 5776]); captions
+# under 5 tokens reject the fixture's 4-token alt-text class
+_IQF_MIN_MEAN = 120
+_IQF_MIN_VAR = 5100
+_IQF_MIN_CAP_TOKENS = 5
+
+
+def q_img_quality_filter(spark, sf_dir):
+    """The image+caption twin of the text quality_filter — the keep/reject
+    pass a multimodal training pipeline runs over (image, caption) pairs
+    before dedup: brightness gate (mean pixel), contrast gate (pixel
+    variance), caption-length gate, fused with first-failing-rule reasons
+    (too_dark → low_contrast → bad_caption → kept).  Composes the
+    oracle-pinned q_img_stats decode kernel (_img_stats_frame) with pure
+    JVM gate expressions; every comparison is INTEGER (sum_px <
+    mean·n_px; n·sum_sq − sum² < var·n² — int64-safe to gigapixel
+    images), so the closed-form oracle matches bit-for-bit with no float
+    rounding contract.  100 TB shape: one no-shuffle Arrow decode scan +
+    one image_id equi-join for the caption column (the same
+    image_id-bucketed join payload_validate uses at scale); gates are
+    free projections."""
+    imgs = _img_corpus(spark)
+    stats = _img_stats_frame(imgs)
+    caps = imgs.select("image_id", "caption")
+    j = stats.join(caps, "image_id")
+    n_cap = F.size(F.split(F.trim("caption"), r"\s+"))
+    reason = (
+        F.when(F.col("sum_px") < _IQF_MIN_MEAN * F.col("n_px"), "too_dark")
+        .when(F.col("n_px") * F.col("sum_sq")
+              - F.col("sum_px") * F.col("sum_px")
+              < _IQF_MIN_VAR * F.col("n_px") * F.col("n_px"),
+              "low_contrast")
+        .when(n_cap < _IQF_MIN_CAP_TOKENS, "bad_caption")
+        .otherwise("kept"))
+    return j.select("image_id", reason.alias("reason"),
+                    (reason == "kept").alias("keep"))
+
+
+def _sql_img_quality_filter() -> str:
+    """Closed-form twin: the q_img_stats design recomputation (popcount
+    cells at gray 200/lo, 12 channel bytes per cell) feeding the same
+    integer gate arithmetic + the caption token count."""
+    return f"""
+WITH t AS (
+  SELECT image_id, caption, bit_count(phash)::BIGINT AS k,
+         CASE WHEN fmt = 'lossy' THEN 48 ELSE 50 END::BIGINT AS lo
+  FROM read_parquet('{_IMG_CORPUS_FIXTURE}')
+), s AS (
+  SELECT image_id, caption, 768::BIGINT AS n,
+         (12 * (k * 200 + (64 - k) * lo))::BIGINT AS sum_px,
+         (12 * (k * 40000 + (64 - k) * lo * lo))::BIGINT AS sum_sq
+  FROM t
+), v AS (
+  SELECT image_id,
+    CASE
+      WHEN sum_px < {_IQF_MIN_MEAN} * n THEN 'too_dark'
+      WHEN n * sum_sq - sum_px * sum_px < {_IQF_MIN_VAR} * n * n
+        THEN 'low_contrast'
+      WHEN len(list_filter(regexp_split_to_array(trim(caption), '\\s+'),
+                           w -> w <> '')) < {_IQF_MIN_CAP_TOKENS}
+        THEN 'bad_caption'
+      ELSE 'kept' END AS reason
+  FROM s
+)
+SELECT image_id, reason, reason = 'kept' AS keep FROM v
 """
 
 
@@ -3384,6 +3495,8 @@ QUERIES = {
     "xmodal_dup_groups": q_xmodal_dup_groups,
     "scene_dedup": q_scene_dedup,
     "ann_recall_sample": q_ann_recall_sample,
+    "img_quality_filter": q_img_quality_filter,
+    "token_count_bpe": q_token_count_bpe,
     "quality_filter": q_quality_filter,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "lsh_cap_stats": q_lsh_cap_stats,
@@ -3455,6 +3568,8 @@ def oracles() -> dict[str, str]:
         "xmodal_dup_groups": _sql_xmodal_dup_groups(),
         "scene_dedup": _sql_scene_dedup(),
         "ann_recall_sample": _sql_ann_recall_sample(),
+        "img_quality_filter": _sql_img_quality_filter(),
+        "token_count_bpe": _sql_token_count_bpe(),
         "f1_validate": SQL_F1,
         "f2_scope": SQL_F2,
         "x6_depth": SQL_X6,

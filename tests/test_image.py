@@ -151,3 +151,35 @@ def test_img_stats_matches_numpy(spark):
                            r["min_px"], r["max_px"])
            for r in dq.q_img_stats(spark, "").collect()}
     assert got == want
+
+
+def test_img_quality_filter_matches_numpy(spark):
+    """q_img_quality_filter (round 10): first-failing-rule reasons over
+    decoded pixel stats + caption length, recomputed independently with
+    numpy per image.  Also asserts every reason class actually fires at
+    fixture scale (a gate that never fires is untested)."""
+    import pyarrow.parquet as pq
+
+    from subdomain_crawler_spark.plans import driver_queries as dq
+
+    t = pq.read_table(dq._ensure_img_corpus_fixture(),
+                      columns=["image_id", "bytes", "fmt", "caption"]
+                      ).to_pandas()
+    want = {}
+    for iid, buf, fmt, cap in zip(t["image_id"], t["bytes"], t["fmt"],
+                                  t["caption"]):
+        a = image.decode_image(buf, fmt).astype(np.int64)
+        n, s, sq = int(a.size), int(a.sum()), int((a * a).sum())
+        if s < dq._IQF_MIN_MEAN * n:
+            want[iid] = "too_dark"
+        elif n * sq - s * s < dq._IQF_MIN_VAR * n * n:
+            want[iid] = "low_contrast"
+        elif len(cap.split()) < dq._IQF_MIN_CAP_TOKENS:
+            want[iid] = "bad_caption"
+        else:
+            want[iid] = "kept"
+    got = {r["image_id"]: r["reason"]
+           for r in dq.q_img_quality_filter(spark, "").collect()}
+    assert got == want
+    assert set(want.values()) == {"too_dark", "low_contrast",
+                                  "bad_caption", "kept"}
