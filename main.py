@@ -90,9 +90,18 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "[ref: cli/config.go:37]")
     p.add_argument("--queue-size", type=int, default=10_000,
                    help="reference task-queue size — validated and "
-                        "recorded for CLI parity; Spark's scheduler "
-                        "replaces the bounded queue (G1 divergence, "
-                        "COVERAGE.md 2.6) [ref: cli/config.go:23]")
+                        "recorded for CLI parity; without "
+                        "--enforce-queue-cap Spark's scheduler replaces "
+                        "the bounded queue (G1 divergence, COVERAGE.md "
+                        "2.6) [ref: cli/config.go:23]")
+    p.add_argument("--enforce-queue-cap", action="store_true",
+                   help="G1 deterministic analog: cap each round's next "
+                        "frontier at --queue-size rows in (depth, host) "
+                        "order, record drops in metrics, refuse a round-0 "
+                        "frontier over the cap (the reference's drop set "
+                        "is timing-defined; this reproduces the bounded-"
+                        "frontier semantics deterministically) "
+                        "[ref: queue.go:25-39]")
     p.add_argument("--bloom-size", type=int, default=1_000_000,
                    help="seen-filter capacity [ref default 1e6]")
     p.add_argument("--bloom-fp", type=float, default=0.01,
@@ -188,6 +197,7 @@ def main(argv: list[str] | None = None) -> int:
         http_timeout=args.http_timeout,
         dns_timeout=args.dns_timeout,
         queue_size=args.queue_size,
+        enforce_queue_cap=args.enforce_queue_cap,
     )
     engine = CrawlEngine(spark, cfg, args.workdir, corpus, dns, robots=robots)
 

@@ -39,6 +39,19 @@ class CrawlConfig:
     http_timeout: int = 10
     dns_timeout: int = 5
     queue_size: int = 10_000
+    # G1 (queue.go:25-39): the reference's bounded queue silently DROPS
+    # tasks when full — a timing-dependent behavior a deterministic batch
+    # engine must not copy verbatim.  enforce_queue_cap=True enables the
+    # DETERMINISTIC analog: each round's next frontier is capped at
+    # queue_size rows in (depth, host) order (shallowest-then-lexicographic
+    # keep rule — a fixed priority instead of a race), dropped counts land
+    # in RoundStats.tasks_dropped / the metrics table, and a round-0
+    # frontier over the cap raises (the reference treats ROOT enqueue
+    # failure as fatal, crawl_usecase.go:253-257).  Default OFF: the
+    # reference's drop set is timing-defined, so no fixed rule reproduces
+    # a given run — this reproduces the semantics CLASS (bounded frontier,
+    # excess dropped, drops observable) deterministically.
+    enforce_queue_cap: bool = False
 
     # seen-set accelerator (D1b): shard count for the broadcast bloom bank;
     # each shard sized so capacity_per_shard * shards covers the frontier

@@ -205,6 +205,9 @@ class RoundStats:
     error_count: int
     unique_subdomains: int
     wall_sec: float
+    # G1 deterministic analog (config.enforce_queue_cap): rows the
+    # queue-size cap dropped from this round's NEXT frontier; 0 when off
+    tasks_dropped: int = 0
 
 
 class CrawlEngine:
@@ -445,6 +448,15 @@ class CrawlEngine:
                        out0.observe(obs, F.count(F.lit(1)).alias("n")), 0)
         self._frontier0 = f0
         self._n0 = int(obs.get["n"] or 0)
+        # G1 root-enqueue parity (crawl_usecase.go:253-257): the reference
+        # treats a full queue at ROOT enqueue as fatal; the deterministic
+        # analog refuses a round-0 frontier the cap would have to cut
+        if (self.cfg.enforce_queue_cap and self.cfg.queue_size > 0
+                and self._n0 > self.cfg.queue_size):
+            raise RuntimeError(
+                f"failed to add task: queue is full "
+                f"(round-0 frontier {self._n0} > queue size "
+                f"{self.cfg.queue_size})")
 
     def resume_round(self) -> int:
         """Next round to run: 0 on a fresh dir, committed+1 after a crash/stop."""
@@ -1001,6 +1013,22 @@ class CrawlEngine:
             next_frontier = self._dedup_frontier(
                 next_frontier.unionByName(
                     deferred.select("host", "root", "depth")))
+        # G1 deterministic analog (off by default — see config): cap the
+        # next frontier at queue_size rows, keep rule (depth, host)
+        # ascending (shallowest first, then lexicographic — a fixed
+        # priority replacing the reference's enqueue race).  The pre-cap
+        # count rides the SAME write action through a second observe node
+        # below the sort, so the drop count costs no extra job.  Physical
+        # shape: orderBy+limit compiles to TakeOrderedAndProject —
+        # per-partition top-K then one bounded merge, never a full sort.
+        obs_pre = None
+        if cfg.enforce_queue_cap and cfg.queue_size > 0:
+            obs_pre = Observation()
+            next_frontier = (next_frontier
+                             .observe(obs_pre,
+                                      F.count(F.lit(1)).alias("n_cand"))
+                             .orderBy("depth", "host")
+                             .limit(cfg.queue_size))
         # the frontier write's observation feeds the NEXT round's row count —
         # the old per-round frontier.count() job is gone
         obs_f = Observation()
@@ -1078,6 +1106,8 @@ class CrawlEngine:
                             + (agg["e3"] or 0)),
             unique_subdomains=unique_subdomains,
             wall_sec=time.monotonic() - t0,
+            tasks_dropped=(max(0, int(obs_pre.get["n_cand"] or 0) - n_next)
+                           if obs_pre is not None else 0),
         )
         self.io.append_local("metrics", pd.DataFrame([st.__dict__]), rnd)
         self.io.commit_round(rnd)

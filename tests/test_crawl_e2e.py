@@ -310,3 +310,63 @@ def test_engine_quality_filter_exports_and_records_reasons(spark, tmp_path):
     m = eng.io.read_round("quality_metrics", 0).toPandas()
     assert len(m) == 1 and sorted(m.columns) == sorted(QF_REASONS)
     assert int(m["kept"].iloc[0]) == 1 and int(m["duplicate"].iloc[0]) == 1
+
+
+def test_queue_cap_deterministic_drop(spark, tmp_path):
+    """G1 deterministic analog (round 10): with enforce_queue_cap on, each
+    round's next frontier is capped at queue_size rows in (depth, host)
+    order, the drop count lands in RoundStats.tasks_dropped and the
+    metrics table, and the kept set is exactly the lexicographic head of
+    the uncapped frontier — a fixed priority replacing the reference's
+    timing-dependent enqueue race (queue.go:25-39).  Dropped hosts are
+    SEEN but never crawled — the same observable the reference produces
+    (bloom Add happens before the enqueue attempt, worker.go:172-174)."""
+    subs = [f"{c}.hub.com" for c in "abcdef"]
+    hosts = ["hub.com"] + subs
+    corpus = pd.DataFrame({
+        "host": hosts,
+        "proto_ok": [["https"]] * len(hosts),
+        "status_code": [200] * len(hosts),
+        "caption": [" ".join(subs)] + ["no links here"] * len(subs),
+    })
+    dns = pd.DataFrame({"host": hosts,
+                        "ips": [["1.1.1.1"]] * len(hosts),
+                        "rcode": [0] * len(hosts)})
+    base = str(tmp_path / "web")
+    spark.createDataFrame(corpus).write.parquet(f"{base}/corpus.parquet")
+    spark.createDataFrame(dns).write.parquet(f"{base}/dns.parquet")
+    cdf = spark.read.parquet(f"{base}/corpus.parquet")
+    ddf = spark.read.parquet(f"{base}/dns.parquet")
+
+    cfg = CrawlConfig(honor_robots=False, expand_sld=False,
+                      enforce_queue_cap=True, queue_size=4)
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "capped"), cdf, ddf)
+    stats = eng.run(seeds=["hub.com"], max_rounds=4)
+    got = sorted(r.host for r in eng.io.read_round("frontier", 1).collect())
+    assert got == ["a.hub.com", "b.hub.com", "c.hub.com", "d.hub.com"]
+    assert stats[0].tasks_dropped == 2    # e./f. cut, observed exactly
+    m = eng.io.read_round("metrics", 0).toPandas()
+    assert int(m["tasks_dropped"].iloc[0]) == 2
+    # dropped hosts are in the seen set (reference parity) but no later
+    # frontier ever carries them
+    seen = {x.host for x in
+            eng.io.read_upto("seen", len(stats) - 1).collect()}
+    assert {"e.hub.com", "f.hub.com"} <= seen
+    for r in range(1, len(stats)):
+        hosts_r = {x.host
+                   for x in eng.io.read_round("frontier", r).collect()}
+        assert not {"e.hub.com", "f.hub.com"} & hosts_r
+
+
+def test_queue_cap_root_enqueue_fatal(spark, fixture_web, tmp_path):
+    """G1 root parity: a round-0 frontier the cap would cut is FATAL
+    (crawl_usecase.go:253-257 treats root-enqueue failure as fatal)."""
+    base = fixture_web["base"]
+    corpus = spark.read.parquet(f"{base}/corpus.parquet")
+    dns = spark.read.parquet(f"{base}/dns.parquet")
+    cfg = CrawlConfig(honor_robots=False, expand_sld=False,
+                      enforce_queue_cap=True, queue_size=1)
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "fatal"), corpus, dns)
+    assert len(fixture_web["seeds"]) > 1
+    with pytest.raises(RuntimeError, match="queue is full"):
+        eng.start(fixture_web["seeds"])
