@@ -154,10 +154,12 @@ ENVELOPE = {
     "minhash_lsh_pairs": 1.232, "lsh_cap_stats": 0.742, "dedup_groups": 1.936,
     "dedup_pipeline": 3.9, "crawl": 13.79,
     # round-10 additions — seeded from a local sf0.1 local[32] bench.py
-    # run (in-suite, same-protocol) until a driver BENCH record exists;
+    # FULL-SUITE run (the driver's exact protocol — in-suite timings, not
+    # single-shot, since cache warming from earlier queries is part of
+    # what the driver measures) until a driver BENCH record exists;
     # listed in ENVELOPE_PROVISIONAL so the tripwire reports them as such
-    "xmodal_dup_groups": 8.546, "scene_dedup": 2.472,
-    "ann_recall_sample": 3.325,
+    "xmodal_dup_groups": 2.8, "scene_dedup": 1.766,
+    "ann_recall_sample": 1.709,
 }
 # Envelope rows seeded from a LOCAL same-machine run rather than a driver
 # BENCH record (round-8 ADVICE: tag programmatically so the tripwire can

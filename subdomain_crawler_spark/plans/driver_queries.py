@@ -1236,10 +1236,15 @@ def q_ann_recall_sample(spark, sf_dir):
            .withColumn("rn", F.row_number().over(wq))
            .filter(F.col("rn") <= _IVF_TOPK).select("query_id", "vec_id"))
 
+    # both inputs are top-k-bounded (≤ |sample|·topk rows at ANY corpus
+    # size), so the intersection and the per-query hit counts are
+    # broadcast-safe by construction — hint them so the plan never
+    # falls back to a sort-merge exchange
     per_q = (qs.select("query_id")
-             .join(exact.join(ivf, ["query_id", "vec_id"])
+             .join(F.broadcast(exact.join(F.broadcast(ivf),
+                                          ["query_id", "vec_id"])
                    .groupBy("query_id")
-                   .agg(F.count(F.lit(1)).alias("hits")),
+                   .agg(F.count(F.lit(1)).alias("hits"))),
                    "query_id", "left")
              .select("query_id",
                      F.lit(_IVF_TOPK).cast("long").alias("k"),
