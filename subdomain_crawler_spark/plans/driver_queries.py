@@ -1853,27 +1853,98 @@ def _img_corpus(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(_ensure_img_corpus_fixture())
 
 
-def _img_band_pairs(imgs: DataFrame) -> DataFrame:
+def _img_band_pairs(imgs: DataFrame,
+                    bucket_cap: int | None = None,
+                    observer=None) -> DataFrame:
     """MIH candidate generation + exact confirm: posexplode the 4 16-bit
     bands (shiftrightunsigned keeps negative phashes correct), equi-self-join
     per (band, value), dedup multi-band hits, confirm with JVM
-    bit_count(xor) ≤ radius.  At 10^10 rows the same capped star expansion
-    as _lsh_band_pairs bounds hot buckets (all-equal images collapse under
-    exact dedup first, exactly like the text pipeline); radius > 3 means
-    more/wider bands (b = r+1), not a different plan."""
+    bit_count(xor) ≤ radius.  Radius > 3 means more/wider bands
+    (b = r+1), not a different plan.
+
+    ``bucket_cap`` — the 10^10-row hot-bucket guard, same star-expansion
+    shape as _lsh_band_pairs: a (band, value) bucket with k > bucket_cap
+    members emits the clique over its bucket_cap smallest image_ids plus
+    one star edge from each overflow member to the bucket minimum —
+    O(cap² + k) candidates instead of O(k²).  SEMANTIC DIFFERENCE from
+    the text cap, disclosed: MIH candidates pass a distance CONFIRM, so
+    a star edge whose endpoints exceed the radius is dropped and the
+    capped pair graph's components may under-merge relative to uncapped
+    (the standard LSH recall-for-boundedness trade; exact duplicates
+    collapse under exact dedup first, so overflow buckets are near-dup
+    clone sets where the bucket min is within radius of most members).
+    ``observer`` rides the caller's first action with the same
+    capped_buckets / star_edges / dropped_pairs telemetry as
+    _lsh_band_pairs, so a 100 TB run sees capping without reading logs.
+    Default None = exact (the oracle-pinned path)."""
     bands = imgs.select(
         "image_id", "phash",
         F.posexplode(F.array(*[
             F.shiftrightunsigned("phash", 16 * k).bitwiseAND(F.lit(0xFFFF))
             for k in range(4)])).alias("band", "bv"))
-    a = bands.select(F.col("image_id").alias("left_id"),
-                     F.col("phash").alias("lp"), "band", "bv")
-    b = bands.select(F.col("image_id").alias("right_id"),
-                     F.col("phash").alias("rp"), "band", "bv")
-    cand = (a.join(b, ["band", "bv"])
-             .filter(F.col("left_id") < F.col("right_id"))
-             .select("left_id", "right_id", "lp", "rp").distinct())
     dist = F.bit_count(F.col("lp").bitwiseXOR(F.col("rp"))).cast("long")
+    if bucket_cap is None:
+        a = bands.select(F.col("image_id").alias("left_id"),
+                         F.col("phash").alias("lp"), "band", "bv")
+        b = bands.select(F.col("image_id").alias("right_id"),
+                         F.col("phash").alias("rp"), "band", "bv")
+        cand = (a.join(b, ["band", "bv"])
+                 .filter(F.col("left_id") < F.col("right_id"))
+                 .select("left_id", "right_id", "lp", "rp").distinct())
+        return (cand.withColumn("dist", dist)
+                    .filter(F.col("dist") <= _IMG_RADIUS))
+    # capped path — mirrors _lsh_band_pairs: size + min in one un-sorted
+    # window pass over the same (band, bv) exchange the join reuses; the
+    # SORTED rank window only sees over-cap buckets (rare by construction)
+    wp = Window.partitionBy("band", "bv")
+    sized = bands.select(
+        "image_id", "phash", "band", "bv",
+        F.count(F.lit(1)).over(wp).alias("k"),
+        F.min("image_id").over(wp).alias("bmin"))
+    small = sized.filter(F.col("k") <= bucket_cap)
+    pairs_small = (small.select(F.col("image_id").alias("left_id"),
+                                F.col("phash").alias("lp"), "band", "bv")
+                   .join(small.select(F.col("image_id").alias("right_id"),
+                                      F.col("phash").alias("rp"),
+                                      "band", "bv"),
+                         ["band", "bv"])
+                   .filter(F.col("left_id") < F.col("right_id"))
+                   .select("left_id", "right_id", "lp", "rp"))
+    big = sized.filter(F.col("k") > bucket_cap)
+    ws = Window.partitionBy("band", "bv").orderBy("image_id")
+    bigr = big.withColumn("rn", F.row_number().over(ws))
+    bighead = bigr.filter(F.col("rn") <= bucket_cap)
+    clique_big = (bighead.select(F.col("image_id").alias("left_id"),
+                                 F.col("phash").alias("lp"), "band", "bv")
+                  .join(bighead.select(F.col("image_id").alias("right_id"),
+                                       F.col("phash").alias("rp"),
+                                       "band", "bv"),
+                        ["band", "bv"])
+                  .filter(F.col("left_id") < F.col("right_id"))
+                  .select("left_id", "right_id", "lp", "rp"))
+    overflow = bigr.filter(F.col("rn") > bucket_cap)
+    if observer is not None:
+        head = (F.col("rn") == bucket_cap + 1).cast("long")
+        cap_pairs = bucket_cap * (bucket_cap - 1) // 2
+        overflow = overflow.observe(
+            observer,
+            F.coalesce(F.sum(head), F.lit(0)).alias("capped_buckets"),
+            F.count(F.lit(1)).alias("star_edges"),
+            F.coalesce(F.sum((F.expr("k * (k - 1) div 2")
+                              - F.lit(cap_pairs)
+                              - (F.col("k") - bucket_cap)) * head),
+                       F.lit(0)).alias("dropped_pairs"))
+    # star: overflow member → bucket min (rn==1 row carries bmin's phash;
+    # bmin < every overflow image_id by construction)
+    bminrow = (bigr.filter(F.col("rn") == 1)
+               .select(F.col("image_id").alias("left_id"),
+                       F.col("phash").alias("lp"), "band", "bv"))
+    star = (overflow.select(F.col("image_id").alias("right_id"),
+                            F.col("phash").alias("rp"), "band", "bv")
+            .join(bminrow, ["band", "bv"])
+            .select("left_id", "right_id", "lp", "rp"))
+    cand = (pairs_small.unionByName(clique_big).unionByName(star)
+            .distinct())
     return (cand.withColumn("dist", dist)
                 .filter(F.col("dist") <= _IMG_RADIUS))
 
