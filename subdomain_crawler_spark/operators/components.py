@@ -115,8 +115,11 @@ def connected_components(
     """Label each node of the undirected graph ``pairs`` with the minimum
     node id of its connected component.
 
-    ``pairs`` columns ``src``/``dst`` must be a numeric (orderable) id
-    type.  Returns DataFrame(id, label) covering every node that appears
+    ``pairs`` columns ``src``/``dst`` must be an ORDERABLE id type —
+    numeric (the cheap shuffle key; every query-path caller) or string
+    (lexicographic min labels; the engine's image_id path — both the
+    driver union-find's ``<`` and the distributed path's ``min()``
+    aggregate are type-agnostic over orderable columns).  Returns DataFrame(id, label) covering every node that appears
     in at least one pair (singletons never enter the graph — the caller
     decides their representation, matching the LSH pipeline where a
     pairless doc is its own group).  The result is backed by a

@@ -486,6 +486,53 @@ class CrawlEngine:
             rnd)
         return labels
 
+    def dedup_images(self, imgs: DataFrame,
+                     bucket_cap: int | None = None) -> DataFrame:
+        """Production image near-dup pass over an input_hint-shaped corpus
+        slice ``imgs(image_id, phash, ...)`` run as part of a crawl
+        workflow — the multimodal twin of dedup_documents: phash MIH band
+        join (driver_queries._img_band_pairs — optionally hot-bucket
+        capped; the cap telemetry Observation rides the edge
+        materialization inside connected_components, zero extra scans) →
+        the shared CC operator (string image_ids: lexicographic min
+        labels) → (image_id, group_id) for EVERY input image, singletons
+        their own group.  Telemetry lands in the checkpoint's
+        ``img_dedup_metrics`` table (same schema as q_lsh_cap_stats;
+        all-zero cap fields when uncapped)."""
+        from pyspark.sql import Observation
+
+        from ..operators.components import connected_components, \
+            free_checkpoint_blocks
+        from .driver_queries import _img_band_pairs
+
+        obs = Observation() if bucket_cap is not None else None
+        ids = imgs.select("image_id", "phash")
+        pairs = _img_band_pairs(ids, bucket_cap=bucket_cap, observer=obs)
+        labels = connected_components(
+            pairs.select(F.col("left_id").alias("a"),
+                         F.col("right_id").alias("b")))
+        out = (ids.select("image_id")
+               .join(labels, ids["image_id"] == labels["id"], "left")
+               .select("image_id",
+                       F.coalesce("label", "image_id").alias("group_id"))
+               .localCheckpoint(eager=True))
+        free_checkpoint_blocks(labels)
+        got = {"capped_buckets": 0, "star_edges": 0, "dropped_pairs": 0}
+        if obs is not None:
+            try:
+                got = obs.get
+            except Exception:  # metrics node pruned (empty overflow graph)
+                pass
+        rnd = max(self.io.committed_round(), 0)
+        self.io.append_local(
+            "img_dedup_metrics",
+            pd.DataFrame([{"bucket_cap": int(bucket_cap or 0),
+                           "capped_buckets": int(got["capped_buckets"] or 0),
+                           "star_edges": int(got["star_edges"] or 0),
+                           "dropped_pairs": int(got["dropped_pairs"] or 0)}]),
+            rnd)
+        return out
+
     def quality_filter_documents(self, docs: DataFrame,
                                  export_table: str = "kept_documents",
                                  ) -> dict[str, int]:

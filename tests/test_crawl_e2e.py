@@ -370,3 +370,43 @@ def test_queue_cap_root_enqueue_fatal(spark, fixture_web, tmp_path):
     assert len(fixture_web["seeds"]) > 1
     with pytest.raises(RuntimeError, match="queue is full"):
         eng.start(fixture_web["seeds"])
+
+
+def test_engine_dedup_images_groups_and_metrics(spark, tmp_path):
+    """CrawlEngine.dedup_images (round 10): the multimodal twin of
+    dedup_documents — phash MIH + shared CC over STRING image_ids
+    (lexicographic min labels), singletons own group, telemetry row in
+    img_dedup_metrics; with a bucket_cap the hot-bucket counts land."""
+    corpus = spark.createDataFrame(
+        [("example.com", ["https"], 200, "hello")],
+        "host string, proto_ok array<string>, status_code int, "
+        "caption string")
+    dns = spark.createDataFrame(
+        [("example.com", ["1.2.3.4"], 0)],
+        "host string, ips array<string>, rcode int")
+    eng = CrawlEngine(spark, CrawlConfig(honor_robots=False),
+                      str(tmp_path / "crawl"), corpus, dns)
+    # i1~i2 (Hamming 1), i3 far from both (no shared band, dist >> 3)
+    imgs = spark.createDataFrame(
+        [("a.com/0", 0x0F0F), ("b.com/0", 0x0F0E),
+         ("c.com/0", -0x0123456789ABCDF0)],
+        "image_id string, phash long")
+    labels = eng.dedup_images(imgs).toPandas().set_index("image_id")
+    g = labels["group_id"]
+    assert g["a.com/0"] == g["b.com/0"] == "a.com/0"  # lexicographic min
+    assert g["c.com/0"] == "c.com/0"                  # singleton
+    m = eng.io.read_round("img_dedup_metrics", 0).toPandas()
+    assert len(m) == 1 and int(m["bucket_cap"].iloc[0]) == 0
+    assert int(m["capped_buckets"].iloc[0]) == 0
+    # capped form: telemetry rides the CC action
+    eng2 = CrawlEngine(spark, CrawlConfig(honor_robots=False),
+                       str(tmp_path / "crawl2"), corpus, dns)
+    hot = spark.createDataFrame(
+        [(f"h{i:02d}.com/0", 7 | (1 << 48 + i)) for i in range(5)],
+        "image_id string, phash long")
+    labels2 = eng2.dedup_images(hot, bucket_cap=2).toPandas()
+    assert set(labels2["group_id"]) == {"h00.com/0"}  # one group via stars
+    m2 = eng2.io.read_round("img_dedup_metrics", 0).toPandas()
+    assert int(m2["bucket_cap"].iloc[0]) == 2
+    assert int(m2["capped_buckets"].iloc[0]) == 3
+    assert int(m2["star_edges"].iloc[0]) == 9
