@@ -220,7 +220,8 @@ def main(argv: list[str] | None = None) -> int:
         progress = lambda st: print(
             f"round {st.round}: processed={st.tasks_processed} "
             f"novel={st.unique_subdomains} enqueued={st.tasks_enqueued} "
-            f"({st.wall_sec:.1f}s)", file=sys.stderr)
+            + (f"dropped={st.tasks_dropped} " if st.tasks_dropped else "")
+            + f"({st.wall_sec:.1f}s)", file=sys.stderr)
     try:
         stats = engine.run(seeds=seeds, max_rounds=args.max_rounds,
                            progress=progress)
@@ -245,14 +246,19 @@ def main(argv: list[str] | None = None) -> int:
             if dl is not None:
                 jsonl.export_dns_jsonl(dl, args.dns_log)
 
-    print(json.dumps({
+    summary = {
         "rounds": len(stats),
         "tasks_processed": sum(s.tasks_processed for s in stats),
         "unique_subdomains": sum(s.unique_subdomains for s in stats),
         "http_requests": sum(s.http_requests for s in stats),
         "dns_requests": sum(s.dns_requests for s in stats),
         "committed_round": last,
-    }))
+    }
+    # G1 cap observability: only present when the cap is enabled, so the
+    # default summary line stays byte-identical to prior rounds
+    if cfg.enforce_queue_cap:
+        summary["tasks_dropped"] = sum(s.tasks_dropped for s in stats)
+    print(json.dumps(summary))
     if owns_session:
         spark.stop()
     return 0
