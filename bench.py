@@ -73,6 +73,7 @@ HEADLINE = [
     "minhash_lsh_pairs", "lsh_cap_stats", "dedup_groups",
     "dedup_pipeline",
     "xmodal_dup_groups", "scene_dedup", "ann_recall_sample",
+    "decontaminate",
 ]
 
 # Driver-contract queries intentionally NOT timed in the headline suite —
@@ -159,13 +160,13 @@ ENVELOPE = {
     # what the driver measures) until a driver BENCH record exists;
     # listed in ENVELOPE_PROVISIONAL so the tripwire reports them as such
     "xmodal_dup_groups": 2.8, "scene_dedup": 1.766,
-    "ann_recall_sample": 1.709,
+    "ann_recall_sample": 1.709, "decontaminate": 0.283,
 }
 # Envelope rows seeded from a LOCAL same-machine run rather than a driver
 # BENCH record (round-8 ADVICE: tag programmatically so the tripwire can
 # say so) — refresh from the next BENCH_r{N}.json and drain this set.
 ENVELOPE_PROVISIONAL: set[str] = {"xmodal_dup_groups", "scene_dedup",
-                                  "ann_recall_sample"}
+                                  "ann_recall_sample", "decontaminate"}
 ENVELOPE_NOISE_FACTOR = 3.0
 
 

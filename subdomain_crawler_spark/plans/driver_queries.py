@@ -716,6 +716,85 @@ SELECT doc_id, reason, reason = 'kept' AS keep FROM verdict
 """
 
 
+# decontamination: eval split rule + overlap gram width.  doc_id % 23
+# puts ~4% of the corpus in the "benchmark" set — deterministic, so the
+# oracle is exact; 8 grams is the published width (GPT-3 appx C / Llama 2
+# appx A.6 use 8-13-gram collision as the contamination rule)
+_DECON_EVAL_MOD = 23
+_DECON_N = 8
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark DECONTAMINATION — the train-set hygiene pass run before
+    every serious LLM training job (GPT-3 appx C; Llama 2 appx A.6):
+    flag every training document sharing at least one word-8-gram with
+    the held-out eval set (here the deterministic doc_id % 23 == 0
+    split), reporting the shared-gram count per train doc.  A flagged
+    doc either leaks eval answers into training or inflates eval scores;
+    both sides of the split are computed from the same table so the
+    oracle is exact.
+
+    100 TB shape: the eval side is always orders of magnitude smaller
+    than train (benchmarks are thousands of docs), so its distinct gram
+    set BROADCASTS — the train scan explodes grams and probes the
+    broadcast hash table with NO train-side shuffle; only the flagged
+    subset (rare) enters the per-doc count aggregation.  At real scale
+    the gram string is hashed to int64 first (xxhash64) to shrink the
+    broadcast; fixture scale keeps the strings so the oracle needs no
+    hash twin."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    n = F.size(toks)
+    grams = F.array_distinct(F.when(
+        n >= _DECON_N,
+        F.transform(F.sequence(F.lit(1), n - F.lit(_DECON_N - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, _DECON_N)))
+    ).otherwise(F.array().cast("array<string>")))
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    g = d.select("doc_id", is_eval.alias("is_eval"),
+                 F.explode(grams).alias("gram"))
+    eval_g = g.filter("is_eval").select("gram").distinct()
+    hits = (g.filter(~F.col("is_eval"))
+            .join(F.broadcast(eval_g), "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("hits")))
+    return (d.filter(~is_eval).select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("hits", F.lit(0)).cast("long")
+                     .alias("n_shared_grams"))
+            .withColumn("contaminated", F.col("n_shared_grams") > 0))
+
+
+def _sql_decontaminate() -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id, doc_id % {_DECON_EVAL_MOD} = 0 AS is_eval,
+         unnest(list_distinct(CASE
+           WHEN len(regexp_split_to_array(trim(text), '\\s+'))
+                >= {_DECON_N}
+           THEN list_transform(
+             generate_series(1, len(regexp_split_to_array(trim(text),
+                                                          '\\s+'))
+                                - {_DECON_N - 1}),
+             i -> array_to_string(regexp_split_to_array(trim(text),
+                 '\\s+')[i:i+{_DECON_N - 1}], ' '))
+           ELSE []::VARCHAR[] END)) AS gram
+  FROM documents
+), ev AS (
+  SELECT DISTINCT gram FROM g WHERE is_eval
+), hits AS (
+  SELECT g.doc_id, count(*) AS hits
+  FROM g JOIN ev USING (gram) WHERE NOT g.is_eval
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id, coalesce(h.hits, 0)::BIGINT AS n_shared_grams,
+       coalesce(h.hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {_DECON_EVAL_MOD} <> 0
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup scoring on adjacent doc pairs (the scalable
     all-pairs form is LSH-bucketed; this pins the pair-metric semantics)."""
@@ -3573,6 +3652,7 @@ QUERIES = {
     "ann_recall_sample": q_ann_recall_sample,
     "img_quality_filter": q_img_quality_filter,
     "token_count_bpe": q_token_count_bpe,
+    "decontaminate": q_decontaminate,
     "quality_filter": q_quality_filter,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "lsh_cap_stats": q_lsh_cap_stats,
@@ -3646,6 +3726,7 @@ def oracles() -> dict[str, str]:
         "ann_recall_sample": _sql_ann_recall_sample(),
         "img_quality_filter": _sql_img_quality_filter(),
         "token_count_bpe": _sql_token_count_bpe(),
+        "decontaminate": _sql_decontaminate(),
         "f1_validate": SQL_F1,
         "f2_scope": SQL_F2,
         "x6_depth": SQL_X6,
