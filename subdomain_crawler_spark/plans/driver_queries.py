@@ -22,6 +22,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 from ..functions import core, text as text_k
 from ..functions import udfs
@@ -832,18 +833,15 @@ FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
 
 def q_cosine_topk(spark, sf_dir):
     """Similarity search — brute-force cosine top-10 vs the vec_id=0 query
-    vector (F.aggregate/zip_with dot products, JVM-side)."""
+    vector.  Scoring runs through the Arrow pair kernel (_pair_cos4_np),
+    bit-equal to the old zip_with/aggregate lambda tree but vectorized
+    numpy instead of interpreted boxed JVM ops (guide §4.2) — and without
+    the lambda tree's multi-second first-run codegen."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-    dot = F.aggregate(F.zip_with("embedding", "qv", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform("embedding", lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform("qv", lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    cos = F.round(dot / (na * nb), 4)
-    return (j.select("vec_id", cos.alias("cos_sim"))
+    return (j.select("vec_id", _udf_pair_cos4("embedding", "qv")
+                     .alias("cos_sim"))
              .orderBy(F.desc("cos_sim"), "vec_id").limit(10))
 
 
@@ -922,14 +920,8 @@ def q_ann_lsh_bucket(spark, sf_dir):
              qb, *[qb.bitwiseXOR(F.lit(1 << i)) for i in range(r)]
          )).alias("bucket")))
     j = eb.filter(F.col("vec_id") != 0).join(F.broadcast(q), "bucket")
-    dot = F.aggregate(F.zip_with("embedding", "qv", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform("embedding", lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform("qv", lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
     return (j.select("vec_id", F.col("bucket"),
-                     F.round(dot / (na * nb), 4).alias("cos_sim"))
+                     _udf_pair_cos4("embedding", "qv").alias("cos_sim"))
              .orderBy(F.desc("cos_sim"), "vec_id").limit(5))
 
 
@@ -985,13 +977,14 @@ ORDER BY cos_sim DESC, vec_id LIMIT 5
 _IVF_K = 16        # centroid count (vec_id 1.._IVF_K)
 _IVF_NPROBE = 4    # cells searched per query
 _IVF_TOPK = 10
-# Above this k, q_ann_ivf switches cell assignment to the Arrow argmax
-# kernel. The literal transform's PLAN is constant-size at any k, but its
-# EVALUATION is interpreted higher-order-function lambdas (zip_with /
-# aggregate are not codegen'd — every element is boxed), i.e. k·d boxed
-# JVM ops per row; the Arrow kernel does the same flops as vectorized
-# numpy over the batch. At k=16 the literal form stays the default (it
-# avoids the Python worker round-trip and is what the DuckDB oracle pins).
+# Historical literal-vs-Arrow threshold (rounds 8-10 switched assignment
+# paths on k; round 11 made Arrow the default at EVERY k after measuring
+# the literal path at 9.5 s vs 0.9 s warm on sf1.0 — the literal
+# transform's PLAN is constant-size at any k, but its EVALUATION is
+# interpreted higher-order-function lambdas (zip_with / aggregate are not
+# codegen'd — every element is boxed), i.e. k·d boxed JVM ops per row,
+# while the Arrow kernel does the same flops as vectorized numpy over the
+# batch).  Kept as documentation + the explicit use_arrow=False escape.
 _IVF_LITERAL_MAX_K = 32
 
 
@@ -1084,6 +1077,54 @@ def _ivf_scores_np(M, C):
     return _ivf_round4_half_up(cos)
 
 
+def _pair_cos4_np(A, B):
+    """round-4 cosine per ROW PAIR (A[i] vs B[i]) — the vectorized twin of
+    the literal `_cos4(a, b)` expression, numerically BIT-EQUAL by the same
+    argument as `_ivf_scores_np` (which the driver-green ann_ivf_arrow row
+    certifies end-to-end): products at FLOAT precision (zip_with on
+    array<float> multiplies in f32), a SEQUENTIAL per-dimension left fold
+    into f64 accumulators (aggregate(…, 0.0D, acc + x) — not np.sum, whose
+    pairwise reduction changes addition order), sqrt/divide in f64, then
+    the HALF_UP shortest-repr round (`_ivf_round4_half_up`).  Replaces the
+    interpreted higher-order-function lambdas on every pair-scoring path
+    (guide §4.2: zip_with/aggregate are not codegen'd — every element is a
+    boxed JVM op, and each distinct expression tree also pays first-run
+    janino codegen); parity pinned by
+    tests/test_plans.py::test_pair_cos4_parity."""
+    import numpy as np
+
+    A = np.asarray(A, dtype=np.float32)
+    B = np.asarray(B, dtype=np.float32)
+    prod = A * B          # f32 — zip_with(x, y -> x * y) parity
+    sqa = A * A
+    sqb = B * B
+    n = A.shape[0]
+    acc = np.zeros(n, dtype=np.float64)
+    na = np.zeros(n, dtype=np.float64)
+    nb = np.zeros(n, dtype=np.float64)
+    for j in range(A.shape[1]):   # sequential f64 fold, dimension-major
+        acc += prod[:, j]
+        na += sqa[:, j]
+        nb += sqb[:, j]
+    cos = acc / (np.sqrt(na) * np.sqrt(nb))
+    return _ivf_round4_half_up(cos)
+
+
+@F.pandas_udf(DoubleType())  # DataType object, not a DDL string: the module
+# must import without an active SparkSession (string types parse via the
+# session-bound DDL parser)
+def _udf_pair_cos4(ea: pd.Series, eb: pd.Series) -> pd.Series:
+    """Arrow-batched pair cosine (see _pair_cos4_np) over two equal-length
+    array<float> columns."""
+    import numpy as np
+
+    if not len(ea):
+        return pd.Series([], dtype="float64")
+    M = np.asarray(ea.tolist(), dtype=np.float32)
+    N = np.asarray(eb.tolist(), dtype=np.float32)
+    return pd.Series(_pair_cos4_np(M, N), index=ea.index)
+
+
 def _ivf_cells_arrow(vectors, cents, cids, vec_col: str = "embedding"):
     """Arrow-batched cell assignment — the large-k production path: one
     pandas UDF over a broadcast (closure-captured) centroid matrix, argmax
@@ -1128,18 +1169,24 @@ def q_ann_ivf(spark, sf_dir, k: int = _IVF_K, nprobe: int = _IVF_NPROBE,
     exact cosine top-10 within them. The k-row centroid collect is the
     bounded broadcast-dim pattern (k ≤ thousands even at 10^10 rows).
 
-    Cell assignment is k-THRESHOLDED: up to ``_IVF_LITERAL_MAX_K`` it is
-    an inline codegen'd expression chain (`_ivf_cells_literal` — the
-    oracle-pinned default at k=16); beyond that the plan switches to the
-    Arrow-batched argmax over a broadcast centroid matrix
-    (`_ivf_cells_arrow`), whose arithmetic emulates the literal path
-    exactly (`_ivf_scores_np`) so the two assignments are BIT-EQUAL —
-    pinned by tests/test_plans.py::test_ann_ivf_arrow_parity. At 10^10
-    rows the cell column also PARTITIONS the stored table, so the probe's
-    ``cell IN (...)`` filter prunes partitions instead of filtering rows."""
+    Cell assignment DEFAULTS to the Arrow-batched argmax over a broadcast
+    centroid matrix (`_ivf_cells_arrow`), whose arithmetic emulates the
+    literal-expression path exactly (`_ivf_scores_np`) so the two
+    assignments are BIT-EQUAL — pinned by
+    tests/test_plans.py::test_ann_ivf_arrow_parity AND end-to-end by the
+    driver-green ``ann_ivf_arrow`` oracle row (same SQL, Arrow forced,
+    hash-green since round 8).  The literal chain (`_ivf_cells_literal`,
+    ``use_arrow=False``) remains selectable as the oracle-documentation
+    path; it was the default through round 10, but its zip_with/aggregate
+    lambdas are interpreted (k·d boxed JVM ops per row — guide §4.2) and
+    measured 9.5 s vs 0.9 s warm at sf1.0 (k=16, 20k vectors, local[32]),
+    plus ~10 s of first-run janino codegen for the k-wide lambda tree.
+    At 10^10 rows the cell column also PARTITIONS the stored table, so
+    the probe's ``cell IN (...)`` filter prunes partitions instead of
+    filtering rows."""
     e = _t(spark, sf_dir, "embeddings")
     if use_arrow is None:
-        use_arrow = k > _IVF_LITERAL_MAX_K
+        use_arrow = True
     cents = (e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= k))
              .select("vec_id", "embedding").orderBy("vec_id").collect())
     cmat = [list(map(float, r["embedding"])) for r in cents]
@@ -1176,8 +1223,11 @@ def q_ann_ivf(spark, sf_dir, k: int = _IVF_K, nprobe: int = _IVF_NPROBE,
                  .select("cell"))
         cand = (scored.join(F.broadcast(probe), "cell")
                 .crossJoin(F.broadcast(q)))
+    # exact top-k within the probed cells through the Arrow pair kernel
+    # (bit-equal to the literal _cos4 tree — see _pair_cos4_np)
     return (cand.select("vec_id", "cell",
-                        _cos4("embedding", F.col("qv")).alias("cos_sim"))
+                        _udf_pair_cos4("embedding", F.col("qv"))
+                        .alias("cos_sim"))
                 .orderBy(F.desc("cos_sim"), "vec_id").limit(_IVF_TOPK))
 
 
@@ -1266,7 +1316,7 @@ def q_ann_recall_sample(spark, sf_dir):
     Vectorized over the sample — NOT a per-query loop: ONE corpus scan
     broadcast-joined against the 10-row query set scores all (vector,
     query) pairs; per-query exact top-k is a window rank partitioned by
-    query_id; the IVF side assigns cells ONCE (the same literal argmax
+    query_id; the IVF side assigns cells ONCE (the same Arrow argmax
     projection ann_ivf pins), probes via a broadcast (query_id, cell) map
     — at 10^10 rows with a cell-partitioned store that probe map is a
     partition-pruning predicate — and takes the same per-query window
@@ -1276,25 +1326,28 @@ def q_ann_recall_sample(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     cents = (e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _IVF_K))
              .select("vec_id", "embedding").orderBy("vec_id").collect())
-    cents_lit = F.lit([list(map(float, r["embedding"]))
-                       for r in cents]).cast("array<array<float>>")
-    cid_lit = F.lit([int(r["vec_id"]) for r in cents]).cast("array<long>")
+    cmat = [list(map(float, r["embedding"])) for r in cents]
+    cids = [int(r["vec_id"]) for r in cents]
+    cents_lit = F.lit(cmat).cast("array<array<float>>")
+    cid_lit = F.lit(cids).cast("array<long>")
     qs = (e.filter(F.col("vec_id").isin(_ANN_SAMPLE_Q))
           .select(F.col("vec_id").alias("query_id"),
                   F.col("embedding").alias("qv")))
     wq = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
 
-    # exact per-query top-k: one scan × broadcast 10-row query set
+    # exact per-query top-k: one scan × broadcast 10-row query set; pair
+    # scoring through the Arrow kernel (bit-equal to _cos4 — _pair_cos4_np)
     pairs = (e.select("vec_id", "embedding")
              .join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
              .select("query_id", "vec_id",
-                     _cos4("embedding", F.col("qv")).alias("cos_sim")))
+                     _udf_pair_cos4("embedding", F.col("qv"))
+                     .alias("cos_sim")))
     exact = (pairs.withColumn("rn", F.row_number().over(wq))
              .filter(F.col("rn") <= _IVF_TOPK).select("query_id", "vec_id"))
 
-    # IVF per-query: one cell assignment, per-query probe map, window top-k
-    scored = _ivf_cells_literal(e.select("vec_id", "embedding"),
-                                cents_lit, cid_lit)
+    # IVF per-query: one cell assignment (Arrow argmax — bit-equal to the
+    # literal chain, see q_ann_ivf), per-query probe map, window top-k
+    scored = _ivf_cells_arrow(e.select("vec_id", "embedding"), cmat, cids)
     wp = Window.partitionBy("query_id").orderBy(F.desc("qcos"), "cell")
     probe = (qs.select(
                  "query_id",
@@ -1311,7 +1364,8 @@ def q_ann_recall_sample(spark, sf_dir):
                  F.col("qid") == F.col("query_id"))
            .filter(F.col("vec_id") != F.col("query_id"))
            .select("query_id", "vec_id",
-                   _cos4("embedding", F.col("qv")).alias("cos_sim"))
+                   _udf_pair_cos4("embedding", F.col("qv"))
+                   .alias("cos_sim"))
            .withColumn("rn", F.row_number().over(wq))
            .filter(F.col("rn") <= _IVF_TOPK).select("query_id", "vec_id"))
 
@@ -1567,14 +1621,11 @@ def q_emb_near_dup_pairs(spark, sf_dir):
     c = bands.select(F.col("vec_id").alias("b"),
                      F.col("embedding").alias("eb"), "bh")
     j = a.join(c, "bh").filter(F.col("a") < F.col("b"))
-    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform("ea", lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform("eb", lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    cos = F.round(dot / (na * nb), 4)
-    return (j.select("a", "b", cos.alias("cos_sim"))
+    # exact confirm through the Arrow pair kernel (bit-equal to the old
+    # zip_with/aggregate lambda tree — _pair_cos4_np); at ~400k candidate
+    # pairs (sf1.0) the interpreted lambdas were the query's dominant cost
+    return (j.select("a", "b",
+                     _udf_pair_cos4("ea", "eb").alias("cos_sim"))
              .filter(F.col("cos_sim") >= 0.4).distinct())
 
 

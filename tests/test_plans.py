@@ -329,9 +329,29 @@ def test_ann_recall_matches_python_recomputation(spark):
 
 
 def test_ann_ivf_threshold_selects_arrow():
-    """q_ann_ivf's k-threshold: literal at the default, Arrow beyond."""
+    """q_ann_ivf defaults to the Arrow argmax path at every k (round 11 —
+    the literal path measured 10× slower warm; bit-parity is pinned by
+    test_ann_ivf_arrow_parity and the driver-green ann_ivf_arrow row)."""
     import inspect
 
     sig = inspect.signature(dq.q_ann_ivf)
     assert sig.parameters["k"].default == dq._IVF_K
-    assert dq._IVF_K <= dq._IVF_LITERAL_MAX_K  # default stays oracle path
+    assert sig.parameters["use_arrow"].default is None  # None → Arrow
+
+
+def test_pair_cos4_parity(spark):
+    """The Arrow pair-cosine kernel (_pair_cos4_np / _udf_pair_cos4) is
+    BIT-EQUAL to the literal `_cos4` zip_with/aggregate expression it
+    replaced on every pair-scoring path (round 11): same rounded value for
+    every (vector, query) pair of the sf0.1 embeddings — f32 products,
+    sequential f64 fold, HALF_UP round."""
+    sf = "/root/testdata/sf0.1"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    lit = {r["vec_id"]: r["c"] for r in j.select(
+        "vec_id", dq._cos4("embedding", F.col("qv")).alias("c")).collect()}
+    arw = {r["vec_id"]: r["c"] for r in j.select(
+        "vec_id",
+        dq._udf_pair_cos4("embedding", "qv").alias("c")).collect()}
+    assert lit == arw
