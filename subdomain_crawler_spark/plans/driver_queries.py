@@ -2006,7 +2006,23 @@ def _img_band_pairs(imgs: DataFrame,
     ``observer`` rides the caller's first action with the same
     capped_buckets / star_edges / dropped_pairs telemetry as
     _lsh_band_pairs, so a 100 TB run sees capping without reading logs.
-    Default None = exact (the oracle-pinned path)."""
+    Default None = exact (the oracle-pinned path).
+
+    Round-11 NEGATIVE RESULT, kept as a record: an exact hot-bucket
+    sub-band refinement was built and measured (split buckets over
+    _MIH_REFINE_T members by the six 8-bit sub-bands outside the matched
+    band — pigeonhole-exact for radius ≤ 5).  At sf1.0, where one
+    low-entropy simhash band value is shared by 10.5k of 50k docs (90M
+    candidate pairs for a 140k-pair result), it REGRESSED
+    simhash_near_dup 6 s → 11-16 s: the naive path's BroadcastHashJoin
+    spreads the hot bucket's probes round-robin across every core with
+    the pushed-down bit_count confirm filtering inline (~20 ns/candidate,
+    well-parallelized), while the refined shape aligned the join to the
+    (band, value) partitioning and serialized the hot bucket into ONE
+    task — and the sub-bands of templated text are themselves
+    low-entropy, so candidates only dropped 2× (90M → 45M).  The naive
+    broadcast enumerate-and-confirm is the right shape until candidate
+    enumeration itself dominates, which is what ``bucket_cap`` is for."""
     bands = imgs.select(
         "image_id", "phash",
         F.posexplode(F.array(*[
@@ -3067,12 +3083,24 @@ def q_simhash_near_dup(spark, sf_dir):
     CTE, so both the sketch AND the pair decomposition are independently
     recomputed."""
     d = _docs_wide(spark, sf_dir)
-    sh = d.select("doc_id", udfs.udf_simhash64("text").alias("simhash"))
-    pairs = _img_band_pairs(
-        sh.select(F.col("doc_id").alias("image_id"),
-                  F.col("simhash").alias("phash")))
-    return pairs.select(F.col("left_id").alias("left_doc"),
+    # persist the sketch BEFORE the banded self-join: without it the plan
+    # evaluates udf_simhash64 FOUR times (once per join side, and once
+    # more per side below the exchange where the pushed-down
+    # isnotnull(phash) filter lands — the guide §4.4 duplication; the
+    # round-11 before-plan shows 4 ArrowEvalPython nodes).  The cached
+    # frame is (doc_id, int64) — ~16 B/row at any scale.
+    sh = (d.select(F.col("doc_id").alias("image_id"),
+                   udfs.udf_simhash64("text").alias("phash"))
+          .persist())
+    pairs = _img_band_pairs(sh)
+    out = (pairs.select(F.col("left_id").alias("left_doc"),
                         F.col("right_id").alias("right_doc"), "dist")
+           .localCheckpoint(eager=True))  # materialize (runs the UDF once,
+    # against the cache), then drop the sketch blocks deterministically;
+    # the checkpointed result's own blocks are freed by the ContextCleaner
+    # when the caller drops the frame (same pattern as scene_dedup)
+    sh.unpersist()
+    return out
 
 
 def _sql_simhash_near_dup() -> str:
@@ -3155,13 +3183,28 @@ def _lsh_band_pairs(docs: DataFrame,
     have the same span; components are unions over buckets).  Downstream
     dedup grouping (and its closure-based oracle over uncapped pairs)
     is therefore exact at any scale; only the raw pair LISTING differs,
-    which is why the standalone minhash_lsh_pairs query runs uncapped."""
-    bands = _band_keys(docs)
+    which is why the standalone minhash_lsh_pairs query runs uncapped.
+
+    The banded keys are PERSISTED and the pair output is materialized via
+    an eager localCheckpoint before returning (round 11): the band frame
+    feeds BOTH sides of the self-join (and, in the capped path, three
+    more branches), so without the cache the 64-perm MinHash kernel runs
+    2-5× per action (the round-11 before-plans show the duplicated
+    ArrowEvalPython nodes).  The cached frame is (doc_id, 16-byte bh) ×
+    8 bands — ~24 B/row·band at any scale, orders of magnitude narrower
+    than the text it derives from — and is dropped deterministically once
+    the pair listing is stored.  An ``observer`` fires during the
+    checkpoint's action; ``Observation.get`` afterwards sees the counts
+    as before."""
+    bands = _band_keys(docs).persist()
     if bucket_cap is None:
         a = bands.select(F.col("doc_id").alias("a"), "bh")
         b = bands.select(F.col("doc_id").alias("b"), "bh")
-        return (a.join(b, "bh").filter(F.col("a") < F.col("b"))
-                 .select("a", "b").distinct())
+        out = (a.join(b, "bh").filter(F.col("a") < F.col("b"))
+               .select("a", "b").distinct()
+               .localCheckpoint(eager=True))
+        bands.unpersist()
+        return out
     # Bucket size + bucket min in ONE un-sorted window pass (count/min over
     # the whole partition need no sort, and the hash exchange on bh is the
     # same one the self-join reuses).  Buckets within the cap take the
@@ -3211,7 +3254,10 @@ def _lsh_band_pairs(docs: DataFrame,
                               - (F.col("k") - bucket_cap)) * head),
                        F.lit(0)).alias("dropped_pairs"))
     star = overflow.select(F.col("bmin").alias("a"), F.col("doc_id").alias("b"))
-    return pairs_small.unionByName(clique_big).unionByName(star).distinct()
+    out = (pairs_small.unionByName(clique_big).unionByName(star).distinct()
+           .localCheckpoint(eager=True))
+    bands.unpersist()
+    return out
 
 
 def _lsh_cap_stats(docs: DataFrame, bucket_cap: int = 64) -> DataFrame:
