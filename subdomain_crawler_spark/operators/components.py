@@ -161,6 +161,7 @@ def connected_components(
     n_edges = edges.count()  # materializes the persist (the caller's pair
     # plan — often the full LSH banding — runs exactly once, here)
     if n_edges <= 2 * driver_threshold:
+        import pandas as pd
         from pyspark.sql.types import StructField, StructType
 
         id_type = pairs.schema[src].dataType
@@ -171,9 +172,20 @@ def connected_components(
         edges.unpersist()
         out = _driver_union_find(
             zip(pdf["a"].tolist(), pdf["b"].tolist()))
-        return pairs.sparkSession.createDataFrame(
-            out, StructType([StructField("id", id_type, False),
-                             StructField("label", id_type, False)]))
+        schema = StructType([StructField("id", id_type, False),
+                             StructField("label", id_type, False)])
+        # ship the labels back as a pandas frame (Arrow createDataFrame —
+        # the list-of-tuples path pickles per row) and BROADCAST-hint the
+        # result: the node count is bounded by 2·driver_threshold (the
+        # loud size gate above), i.e. ≤ ~8-16 MB of ids, so every
+        # caller's expand join (labels ← nodes/repmap) compiles to a
+        # BroadcastHashJoin instead of a statless sort-merge exchange
+        # pair — the driver-path twin of what the distributed path's
+        # plans decide from real sizes (round 11; measured ~3 s → ~0.5 s
+        # on dedup_pipeline's expand at sf1.0)
+        res = pairs.sparkSession.createDataFrame(
+            pd.DataFrame(out, columns=["id", "label"]), schema)
+        return F.broadcast(res)
     labels = (edges.select(F.col("a").alias("id")).distinct()
               .withColumn("label", F.col("id")).persist())
     seed_labels = labels  # the setup frame, unpersisted after round 0
