@@ -253,14 +253,21 @@ FROM s
 
 
 def q_w1_first_success(spark, sf_dir):
-    """W1 — first-success-per-key (worker.go:90-126 protocol loop → window
-    row_number over priority order; here: first event per user)."""
+    """W1 — first-success-per-key (worker.go:90-126 protocol loop; here:
+    first event per user).  Shape: groupBy + min-struct ordered by
+    (ts, event_id) — the same canonical-winner pattern the crawl's
+    _dedup_frontier uses — instead of a window row_number: the aggregate
+    gets a map-side partial combine (each task ships one candidate row
+    per user instead of every event) and needs no per-partition sort;
+    rows are unique per (ts, event_id) so the winner is identical to the
+    rn=1 row (round 11; the window form paid Sort + WindowGroupLimit on
+    both sides of the exchange)."""
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (e.withColumn("rn", F.row_number().over(w))
-             .filter("rn = 1")
-             .select("user_id", F.col("event_id").alias("first_event_id"),
-                     F.col("event_type").alias("first_event_type")))
+    return (e.groupBy("user_id")
+             .agg(F.min(F.struct("ts", "event_id", "event_type"))
+                  .alias("w"))
+             .select("user_id", F.col("w.event_id").alias("first_event_id"),
+                     F.col("w.event_type").alias("first_event_type")))
 
 
 SQL_W1 = """
@@ -739,9 +746,14 @@ def q_decontaminate(spark, sf_dir):
     than train (benchmarks are thousands of docs), so its distinct gram
     set BROADCASTS — the train scan explodes grams and probes the
     broadcast hash table with NO train-side shuffle; only the flagged
-    subset (rare) enters the per-doc count aggregation.  At real scale
-    the gram string is hashed to int64 first (xxhash64) to shrink the
-    broadcast; fixture scale keeps the strings so the oracle needs no
+    subset (rare) enters the per-doc count aggregation.  The eval and
+    train branches each explode their OWN pre-filtered slice of the scan
+    (round 11 — one shared exploded frame consumed by both branches made
+    the dominant train-side explode run twice, once per branch, since
+    nothing persisted it; the eval split predicate is a pure doc_id
+    function, so filtering before the gram transform is free).  At real
+    scale the gram string is hashed to int64 first (xxhash64) to shrink
+    the broadcast; fixture scale keeps the strings so the oracle needs no
     hash twin."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), r"\s+")
@@ -752,10 +764,11 @@ def q_decontaminate(spark, sf_dir):
                     lambda i: F.concat_ws(" ", F.slice(toks, i, _DECON_N)))
     ).otherwise(F.array().cast("array<string>")))
     is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
-    g = d.select("doc_id", is_eval.alias("is_eval"),
-                 F.explode(grams).alias("gram"))
-    eval_g = g.filter("is_eval").select("gram").distinct()
-    hits = (g.filter(~F.col("is_eval"))
+    eval_g = (d.filter(is_eval)
+              .select(F.explode(grams).alias("gram")).distinct())
+    train_g = (d.filter(~is_eval)
+               .select("doc_id", F.explode(grams).alias("gram")))
+    hits = (train_g
             .join(F.broadcast(eval_g), "gram")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("hits")))
