@@ -257,11 +257,13 @@ def q_w1_first_success(spark, sf_dir):
     first event per user).  Shape: groupBy + min-struct ordered by
     (ts, event_id) — the same canonical-winner pattern the crawl's
     _dedup_frontier uses — instead of a window row_number: the aggregate
-    gets a map-side partial combine (each task ships one candidate row
-    per user instead of every event) and needs no per-partition sort;
-    rows are unique per (ts, event_id) so the winner is identical to the
-    rn=1 row (round 11; the window form paid Sort + WindowGroupLimit on
-    both sides of the exchange)."""
+    gets a map-side partial combine, so each task ships ONE candidate row
+    per user across the exchange instead of every event (struct min
+    compiles to SortAggregate — a sort on user_id only — but over the
+    combined per-user rows, not the full event log); rows are unique per
+    (ts, event_id) so the winner is identical to the rn=1 row (round 11;
+    measured 1.0 s → 0.3 s warm at sf1.0 vs the window form's Sort +
+    WindowGroupLimit on both sides of the exchange)."""
     e = _t(spark, sf_dir, "events")
     return (e.groupBy("user_id")
              .agg(F.min(F.struct("ts", "event_id", "event_type"))
@@ -2396,15 +2398,22 @@ def q_video_near_dup(spark, sf_dir):
     frames = _sampled_frame_hashes(
         spark.read.parquet(_ensure_video_nd_fixture()))
     fid = F.concat_ws(":", "video_id", "frame_idx")
-    pairs = _img_band_pairs(frames.select(fid.alias("image_id"), "phash"))
+    # persist the hashed sample before the banded self-join — the decode
+    # kernel otherwise runs once per join side (round 11; same fix as
+    # q_simhash_near_dup, 16 B/row cache at any scale)
+    fr = frames.select(fid.alias("image_id"), "phash").persist()
+    pairs = _img_band_pairs(fr)
     vid = lambda c: F.substring_index(c, ":", 1)  # noqa: E731
-    return (pairs
-            .select(vid("left_id").alias("left_video"),
-                    vid("right_id").alias("right_video"), "dist")
-            .filter(F.col("left_video") != F.col("right_video"))
-            .groupBy("left_video", "right_video")
-            .agg(F.count(F.lit(1)).alias("n_frame_pairs"),
-                 F.min("dist").alias("min_dist")))
+    out = (pairs
+           .select(vid("left_id").alias("left_video"),
+                   vid("right_id").alias("right_video"), "dist")
+           .filter(F.col("left_video") != F.col("right_video"))
+           .groupBy("left_video", "right_video")
+           .agg(F.count(F.lit(1)).alias("n_frame_pairs"),
+                F.min("dist").alias("min_dist"))
+           .localCheckpoint(eager=True))
+    fr.unpersist()
+    return out
 
 
 def _sql_video_near_dup() -> str:
@@ -2965,12 +2974,18 @@ def q_audio_near_dup(spark, sf_dir):
     100 TB shape: decode scan parallel by file split, candidates bucketed
     by (band, value) — never all-pairs; hot buckets take the capped star
     expansion."""
-    fps = _audio_fingerprints(spark.read.parquet(_ensure_audio_nd_fixture()))
-    return _img_band_pairs(fps).select(
+    # persist the fingerprint frame before the banded self-join — the PCM
+    # decode kernel otherwise runs once per join side (round 11; same fix
+    # as q_simhash_near_dup)
+    fps = _audio_fingerprints(
+        spark.read.parquet(_ensure_audio_nd_fixture())).persist()
+    out = (_img_band_pairs(fps).select(
         F.col("left_id").alias("left_clip"),
         F.col("right_id").alias("right_clip"),
         F.col("lp").alias("left_fp"), F.col("rp").alias("right_fp"),
-        "dist")
+        "dist").localCheckpoint(eager=True))
+    fps.unpersist()
+    return out
 
 
 def _sql_audio_near_dup() -> str:
