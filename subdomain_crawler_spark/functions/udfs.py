@@ -9,11 +9,11 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, BooleanType, IntegerType, LongType, StringType,
+    ArrayType, BooleanType, DoubleType, IntegerType, LongType, StringType,
     StructField, StructType,
 )
 
-from . import core, text
+from . import core, text, vecsim
 
 
 @F.pandas_udf(StringType())
@@ -101,6 +101,22 @@ def udf_minhash64(texts: pd.Series) -> pd.Series:
 @F.pandas_udf(LongType())
 def udf_simhash64(texts: pd.Series) -> pd.Series:
     return text.simhash64_batch(texts)
+
+
+@F.pandas_udf(DoubleType())
+def udf_pair_cos4(ea: pd.Series, eb: pd.Series) -> pd.Series:
+    """Arrow-batched pair cosine over two equal-length array<float>
+    columns — bit-equal to the literal zip_with/aggregate `_cos4` tree
+    (see functions/vecsim.py for the numeric contract).  Lives HERE, not
+    in plans/driver_queries.py, so workers unpickling it import only the
+    light udfs/vecsim chain they already hold."""
+    import numpy as np
+
+    if not len(ea):
+        return pd.Series([], dtype="float64")
+    M = np.asarray(ea.tolist(), dtype=np.float32)
+    N = np.asarray(eb.tolist(), dtype=np.float32)
+    return pd.Series(vecsim.pair_cos4_np(M, N), index=ea.index)
 
 
 @F.pandas_udf(ArrayType(StringType()))

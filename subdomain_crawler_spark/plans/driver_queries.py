@@ -22,7 +22,6 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
 
 from ..functions import core, text as text_k
 from ..functions import udfs
@@ -1015,129 +1014,21 @@ def _cos4(vec_col, other):
     return F.round(dot / (na * nb), 4)
 
 
-def _ivf_round4_half_up(a):
-    """Vectorized twin of Spark's ``round(double, 4)`` (RoundBase →
-    ``BigDecimal.valueOf(d).setScale(4, HALF_UP)``, i.e. HALF_UP on the
-    double's SHORTEST decimal repr). The fast path is the scale-floor
-    trick; values whose scaled fraction sits within 1e-6 of the .5
-    boundary (where ``d * 1e4`` itself may misrepresent the shortest
-    repr) are fixed up through ``decimal.Decimal(repr(d))`` — exactly
-    BigDecimal.valueOf's semantics. The fixup set is empty on real dot
-    products, so the kernel stays C-speed."""
-    import numpy as np
+# Numeric kernels (round-4 half-up, IVF score matrix, pair cosine) live in
+# functions/vecsim.py since round 11: they are referenced from pandas UDFs,
+# and kernels defined in THIS module made every worker import the whole
+# query-plan module chain on first use (~1-1.4 s added to the session's
+# first kernel-bearing query).  Aliased here for the existing test/caller
+# surface.
+from ..functions.vecsim import (  # noqa: E402
+    ivf_scores_np as _ivf_scores_np,
+    pair_cos4_np as _pair_cos4_np,
+    round4_half_up as _ivf_round4_half_up,
+)
 
-    a = np.asarray(a, dtype=np.float64)
-    scaled = a * 1e4
-    out = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / 1e4
-    near = np.nonzero(np.abs(np.abs(scaled) % 1.0 - 0.5) < 1e-6)
-    if near[0].size:
-        import decimal
-        q = decimal.Decimal("0.0001")
-        for idx in zip(*near):
-            out[idx] = float(decimal.Decimal(repr(float(a[idx])))
-                             .quantize(q, rounding=decimal.ROUND_HALF_UP))
-    return out
-
-
-def _ivf_scores_np(M, C):
-    """round-4 cosine matrix (n × k, float64) between row vectors ``M``
-    (n × d float32) and centroids ``C`` (k × d float32), numerically
-    BIT-EQUAL to the literal-expression path's `_cos4`:
-
-    * products at FLOAT precision (Spark's ``zip_with(x, y -> x * y)``
-      on array<float> multiplies in f32),
-    * then a SEQUENTIAL left fold into a double accumulator (Spark's
-      ``aggregate(…, 0.0D, acc + x)``) — NOT ``np.sum`` / BLAS matmul,
-      whose pairwise / blocked reductions change the addition order,
-    * sqrt / divide / round in f64 (IEEE-identical on both sides).
-
-    The fold is expressed as d per-dimension f32 OUTER products
-    accumulated into an f64 (n × k) matrix — each ``M[:,j] ⊗ C[:,j]`` is
-    exactly the j-th zip_with product for every (row, centroid) pair, and
-    the ``+=`` sequence is exactly the left fold; nothing materializes the
-    n × k × d tensor, so memory peaks at 1.5 copies of the (n × k) plane
-    (an Arrow batch of 2048 rows at k=4096 → ~100 MB). A BLAS ``M @ C.T``
-    would be faster still but loses the bit-parity contract the k=16
-    oracle path pins; this form stays C-speed numpy
-    (see tests/test_kernel_bench.py::test_ivf_argmax_throughput)."""
-    import numpy as np
-
-    M = np.asarray(M, dtype=np.float32)
-    C = np.asarray(C, dtype=np.float32)
-    n, d = M.shape
-    k = C.shape[0]
-
-    def _fold_sq(X):  # sequential f64 fold of f32 squares, per row
-        sq = X * X  # f32
-        acc = np.zeros(X.shape[0], dtype=np.float64)
-        for j in range(X.shape[1]):
-            acc += sq[:, j]
-        return acc
-
-    na = np.sqrt(_fold_sq(M))  # (n,)
-    nb = np.sqrt(_fold_sq(C))  # (k,)
-    # cache-blocked over centroids so the f64 accumulator slab stays
-    # L2/L3-resident across the d-fold (measured 2.7× over the unblocked
-    # form at k=4096); blocking is bit-neutral — each (row, centroid)
-    # accumulator is independent, only the j-order matters.
-    kc = 128
-    cos = np.empty((n, k), dtype=np.float64)
-    for c0 in range(0, k, kc):
-        Cc = C[c0:c0 + kc]
-        acc = np.zeros((n, Cc.shape[0]), dtype=np.float64)
-        for j in range(d):
-            acc += M[:, j, None] * Cc[None, :, j]  # f32 outer product
-        cos[:, c0:c0 + Cc.shape[0]] = acc
-    cos /= na[:, None] * nb[None, :]
-    return _ivf_round4_half_up(cos)
-
-
-def _pair_cos4_np(A, B):
-    """round-4 cosine per ROW PAIR (A[i] vs B[i]) — the vectorized twin of
-    the literal `_cos4(a, b)` expression, numerically BIT-EQUAL by the same
-    argument as `_ivf_scores_np` (which the driver-green ann_ivf_arrow row
-    certifies end-to-end): products at FLOAT precision (zip_with on
-    array<float> multiplies in f32), a SEQUENTIAL per-dimension left fold
-    into f64 accumulators (aggregate(…, 0.0D, acc + x) — not np.sum, whose
-    pairwise reduction changes addition order), sqrt/divide in f64, then
-    the HALF_UP shortest-repr round (`_ivf_round4_half_up`).  Replaces the
-    interpreted higher-order-function lambdas on every pair-scoring path
-    (guide §4.2: zip_with/aggregate are not codegen'd — every element is a
-    boxed JVM op, and each distinct expression tree also pays first-run
-    janino codegen); parity pinned by
-    tests/test_plans.py::test_pair_cos4_parity."""
-    import numpy as np
-
-    A = np.asarray(A, dtype=np.float32)
-    B = np.asarray(B, dtype=np.float32)
-    prod = A * B          # f32 — zip_with(x, y -> x * y) parity
-    sqa = A * A
-    sqb = B * B
-    n = A.shape[0]
-    acc = np.zeros(n, dtype=np.float64)
-    na = np.zeros(n, dtype=np.float64)
-    nb = np.zeros(n, dtype=np.float64)
-    for j in range(A.shape[1]):   # sequential f64 fold, dimension-major
-        acc += prod[:, j]
-        na += sqa[:, j]
-        nb += sqb[:, j]
-    cos = acc / (np.sqrt(na) * np.sqrt(nb))
-    return _ivf_round4_half_up(cos)
-
-
-@F.pandas_udf(DoubleType())  # DataType object, not a DDL string: the module
-# must import without an active SparkSession (string types parse via the
-# session-bound DDL parser)
-def _udf_pair_cos4(ea: pd.Series, eb: pd.Series) -> pd.Series:
-    """Arrow-batched pair cosine (see _pair_cos4_np) over two equal-length
-    array<float> columns."""
-    import numpy as np
-
-    if not len(ea):
-        return pd.Series([], dtype="float64")
-    M = np.asarray(ea.tolist(), dtype=np.float32)
-    N = np.asarray(eb.tolist(), dtype=np.float32)
-    return pd.Series(_pair_cos4_np(M, N), index=ea.index)
+# Arrow-batched pair cosine UDF — defined in functions/udfs.py (light
+# worker-side import chain), aliased for the query bodies below.
+_udf_pair_cos4 = udfs.udf_pair_cos4
 
 
 def _ivf_cells_arrow(vectors, cents, cids, vec_col: str = "embedding"):
@@ -3213,19 +3104,23 @@ def _lsh_band_pairs(docs: DataFrame,
     is therefore exact at any scale; only the raw pair LISTING differs,
     which is why the standalone minhash_lsh_pairs query runs uncapped.
 
-    The banded keys are PERSISTED and the pair output is materialized via
-    an eager localCheckpoint before returning (round 11): the band frame
-    feeds BOTH sides of the self-join (and, in the capped path, three
-    more branches), so without the cache the 64-perm MinHash kernel runs
-    2-5× per action (the round-11 before-plans show the duplicated
+    UNCAPPED path (round 11): the banded keys are PERSISTED and the pair
+    output is materialized via an eager localCheckpoint before returning —
+    the band frame feeds both sides of the self-join through two separate
+    exchanges, so without the cache the 64-perm MinHash kernel runs once
+    per side (the round-11 before-plan shows the duplicated
     ArrowEvalPython nodes).  The cached frame is (doc_id, 16-byte bh) ×
     8 bands — ~24 B/row·band at any scale, orders of magnitude narrower
     than the text it derives from — and is dropped deterministically once
-    the pair listing is stored.  An ``observer`` fires during the
-    checkpoint's action; ``Observation.get`` afterwards sees the counts
-    as before."""
-    bands = _band_keys(docs).persist()
+    the pair listing is stored.  The CAPPED path stays LAZY: all of its
+    branches read the window frame ``sized``, whose single
+    hashpartitioning(bh) exchange is reused across them, so the kernel
+    already runs once per action there and an extra materialization was
+    measured as pure overhead (+0.5 s on dedup_groups at sf1.0, paired);
+    the ``observer`` therefore still fires on the CALLER's first action
+    (connected_components' edge materialization), exactly as before."""
     if bucket_cap is None:
+        bands = _band_keys(docs).persist()
         a = bands.select(F.col("doc_id").alias("a"), "bh")
         b = bands.select(F.col("doc_id").alias("b"), "bh")
         out = (a.join(b, "bh").filter(F.col("a") < F.col("b"))
@@ -3233,6 +3128,7 @@ def _lsh_band_pairs(docs: DataFrame,
                .localCheckpoint(eager=True))
         bands.unpersist()
         return out
+    bands = _band_keys(docs)
     # Bucket size + bucket min in ONE un-sorted window pass (count/min over
     # the whole partition need no sort, and the hash exchange on bh is the
     # same one the self-join reuses).  Buckets within the cap take the
@@ -3282,10 +3178,7 @@ def _lsh_band_pairs(docs: DataFrame,
                               - (F.col("k") - bucket_cap)) * head),
                        F.lit(0)).alias("dropped_pairs"))
     star = overflow.select(F.col("bmin").alias("a"), F.col("doc_id").alias("b"))
-    out = (pairs_small.unionByName(clique_big).unionByName(star).distinct()
-           .localCheckpoint(eager=True))
-    bands.unpersist()
-    return out
+    return pairs_small.unionByName(clique_big).unionByName(star).distinct()
 
 
 def _lsh_cap_stats(docs: DataFrame, bucket_cap: int = 64) -> DataFrame:
