@@ -131,13 +131,17 @@ def connected_components(
     the driver instead of the iterative loop: a LOUD, size-gated regime
     split, not a silent cap — the edge count is known before the choice,
     results are bit-identical (union-by-min roots ARE component minima),
-    and the memory bound is explicit: the edges cross as TWO Arrow int64
+    and the memory bound is explicit: the edges cross as TWO Arrow
     columns (toPandas — no driver Row objects), ≤ 2·threshold rows
-    ≈ 8 MB at the default, and the transient Python-object peak (edge
-    tuples + the parent dict over ≤ 2·threshold distinct nodes) is
-    ~100-150 MB at the default — the round-7 ADVICE fix: the old
-    ``collect()`` at a 1M-pair default built up to 2M driver Rows
-    (hundreds of MB) while the docstring claimed 32 MB.  Rationale: each distributed round costs ~6-8 AQE stage
+    ≈ 8 MB at the default for int64 ids — for STRING ids (the engine's
+    image_id path) per-row cost is id-width-bound instead, ~8 MB per 16
+    average id bytes at the default threshold — and the transient
+    Python-object peak (edge tuples + the parent dict over ≤ 2·threshold
+    distinct nodes) is ~100-150 MB for int64, proportionally more for
+    long string ids; callers with wide ids should size
+    ``driver_threshold`` down accordingly.  (Round-7 ADVICE fixed the old
+    ``collect()`` that built up to 2M driver Rows while the docstring
+    claimed 32 MB; round-10 ADVICE flagged the stale int64-only math.)  Rationale: each distributed round costs ~6-8 AQE stage
     waves of pure scheduling floor, so a 450-pair LSH graph pays seconds
     for microseconds of work; the same regime split Spark itself applies
     when it broadcasts a small join side.  ``driver_threshold=0`` forces

@@ -650,6 +650,17 @@ def quality_filter_verdict(d: DataFrame) -> DataFrame:
         return F.size(F.filter(toks, lambda t: t.isin(sw)))
 
     cols = list(d.columns)
+    # engine callers pass arbitrary corpus slices — a caller frame already
+    # carrying an output or helper name would produce duplicate/ambiguous
+    # columns downstream (round-10 ADVICE); fail loudly instead
+    reserved = ({"reason", "keep", "_key", "_n_tokens", "_quality",
+                 "_rep", "_lang_pred", "_keeper"}
+                | {f"_h_{x}" for x in _LANGS})
+    clash = reserved.intersection(cols)
+    if clash:
+        raise ValueError(
+            "quality_filter_verdict: input columns collide with reserved "
+            f"helper/output names {sorted(clash)}; rename them first")
     base = d.select(*cols, key.alias("_key"), n.alias("_n_tokens"),
                     quality.alias("_quality"), rep.alias("_rep"),
                     *[_hit(x).alias(f"_h_{x}") for x in _LANGS])
@@ -1994,6 +2005,11 @@ def _img_band_pairs(imgs: DataFrame,
     star = (overflow.select(F.col("image_id").alias("right_id"),
                             F.col("phash").alias("rp"), "band", "bv")
             .join(bminrow, ["band", "bv"])
+            # duplicate image_id values inside one over-cap bucket would
+            # otherwise emit a self-edge that the dist==0 confirm passes
+            # (id uniqueness is an implicit contract — round-10 ADVICE);
+            # the clique branches already exclude these via left < right
+            .filter(F.col("left_id") != F.col("right_id"))
             .select("left_id", "right_id", "lp", "rp"))
     cand = (pairs_small.unionByName(clique_big).unionByName(star)
             .distinct())

@@ -99,7 +99,14 @@ class ParquetSnapshotIO:
         ]
         if not dirs:
             return None
-        return self.spark.read.parquet(*dirs)
+        # mergeSchema: round dirs written by different engine versions may
+        # carry evolved schemas (e.g. RoundStats gained tasks_dropped in
+        # r10); without it the union's schema comes from whichever footer
+        # drives inference and newer columns can silently drop/null
+        # (round-10 ADVICE). Footer merging cost is bounded by the round
+        # count.
+        return (self.spark.read.option("mergeSchema", "true")
+                .parquet(*dirs))
 
     def exists(self, table: str, round_no: int) -> bool:
         return os.path.isdir(self.round_dir(table, round_no))

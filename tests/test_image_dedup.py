@@ -206,3 +206,18 @@ def test_band_pairs_bucket_cap(spark):
     assert int(m["star_edges"]) == 9   # 3 overflow members x 3 buckets
     # per bucket C(5,2)=10 minus 1 clique pair minus 3 star edges = 6
     assert int(m["dropped_pairs"]) == 18
+
+
+def test_band_pairs_capped_star_no_self_edges(spark):
+    """Round-10 ADVICE: duplicate image_id values inside one over-cap
+    bucket must not surface as self-edges from the star branch (a
+    self-edge has dist 0, so the radius confirm would pass it)."""
+    codes = [7 | (1 << (48 + i)) for i in range(5)]
+    rows = [(f"h{i:02d}", c) for i, c in enumerate(codes)]
+    # duplicate the bucket MINIMUM so its second copy lands in the
+    # overflow region at cap=1 — the star branch would emit (h00, h00)
+    rows.append(("h00", codes[0]))
+    hot = spark.createDataFrame(rows, "image_id string, phash long")
+    got = dq._img_band_pairs(hot, bucket_cap=1).collect()
+    assert got  # the star edges to the bucket min survive
+    assert all(r["left_id"] != r["right_id"] for r in got)

@@ -306,6 +306,21 @@ def test_simhash_near_dup_matches_brute_force(spark, tmp_path):
     assert got == want
 
 
+def test_quality_filter_verdict_rejects_reserved_columns(spark):
+    """Round-10 ADVICE: a caller frame already carrying an output or
+    helper column name must fail loudly instead of producing ambiguous
+    duplicate columns."""
+    import pytest
+
+    from subdomain_crawler_spark.plans.driver_queries import (
+        quality_filter_verdict)
+
+    d = spark.createDataFrame([(1, "a b c", "x")],
+                              "doc_id long, text string, reason string")
+    with pytest.raises(ValueError, match="reserved"):
+        quality_filter_verdict(d)
+
+
 def test_quality_filter_reasons(spark, tmp_path):
     """q_quality_filter (round 9): each reject rule fires on its designed
     doc and the first-failing-rule order is honored.  Stopword-bearing
